@@ -1,0 +1,142 @@
+"""Anchor target assignment (``snap_to_anchors``), batched and static-shape.
+
+TPU-first redesign of odtk/box.py:134-252 + odtk/model.py:167-184: the
+reference loops per image in Python and early-exits on empty targets;
+here assignment is one fused jnp computation over a fixed-size padded
+target tensor, vmappable over the batch, so it lives inside the jitted
+train step (no host sync, no recompilation).
+
+Target tensor convention (same as the reference collate, data.py:158-161):
+``targets[max_det, 5]`` rows ``(x, y, w, h, class)`` (or ``[max_det, 6]``
+``(x, y, w, h, theta, class)`` for rotated), padded with -1 rows.
+
+Depth semantics (odtk/box.py:169-172):
+  -1 = ignore (lo <= IoU < hi), 0 = background (IoU < lo),
+  c+1 = object of class c (IoU >= hi).
+
+Output layout is feature-cell major: cls [H, W, A, K], box [H, W, A, 4|6],
+depth [H, W, A]. The reference uses [A, C, H, W] (NCHW); NHWC is the
+natural TPU layout and the heads produce matching [H, W, A*K] channels
+(anchor-major, class-minor — same channel semantics as the reference
+convs, model.py:64-68).
+
+One deliberate divergence: for *ignored* anchors the reference leaves
+the best-box one-hot in cls_target (odtk/box.py:175-185) but masks it
+out of the loss (model.py:196-198); we emit zeros there instead.
+Loss-equivalent, simpler.
+"""
+
+import jax.numpy as jnp
+
+from .boxes import box2delta, box2delta_rotated, rotate_boxes
+from .iou_rotated import rotated_pair_iou
+
+
+def _cell_xy(width, height, stride, dtype):
+    """Top-left pixel coordinate of each feature cell: [H, W, 2]."""
+    x = jnp.arange(width, dtype=dtype) * stride
+    y = jnp.arange(height, dtype=dtype) * stride
+    return jnp.stack(jnp.meshgrid(x, y, indexing='xy'), axis=-1)
+
+
+def _axis_iou(anchors, boxes):
+    """IoU matrix [N, M] with the inclusive +1 pixel convention
+    (odtk/box.py:153-160)."""
+    xy1 = jnp.maximum(anchors[:, None, :2], boxes[None, :, :2])
+    xy2 = jnp.minimum(anchors[:, None, 2:4], boxes[None, :, 2:4])
+    inter = jnp.prod(jnp.clip(xy2 - xy1 + 1, 0), axis=2)
+    area_a = jnp.prod(anchors[:, 2:4] - anchors[:, :2] + 1, axis=1)
+    area_b = jnp.prod(boxes[:, 2:4] - boxes[:, :2] + 1, axis=1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
+def _one_hot(idx, num_classes):
+    idx = idx.astype(jnp.int32)
+    return (idx[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
+
+
+def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
+              height, width, num_anchors):
+    lo, hi = anchor_ious
+    depth = jnp.full_like(best_iou, -1.0)
+    depth = jnp.where(best_iou < lo, 0.0, depth)
+    depth = jnp.where(best_iou >= hi, best_cls + 1.0, depth)
+
+    fg = (best_iou >= hi).astype(jnp.float32)
+    cls_target = _one_hot(best_cls, num_classes) * fg[:, None]
+
+    nb = deltas.shape[-1]
+    return (cls_target.reshape(height, width, num_anchors, num_classes),
+            deltas.reshape(height, width, num_anchors, nb),
+            depth.reshape(height, width, num_anchors))
+
+
+def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
+                    anchor_ious=(0.4, 0.5)):
+    """Assign padded targets [max_det, 5] to anchors of one FPN level.
+
+    size: (width, height) of the level in pixels (cells * stride).
+    Returns (cls [H,W,A,K], box_deltas [H,W,A,4], depth [H,W,A]).
+    """
+    width = int(size[0]) // int(stride)
+    height = int(size[1]) // int(stride)
+    table = jnp.asarray(anchor_table, targets.dtype)
+    num_anchors = table.shape[0]
+
+    classes = targets[:, 4]
+    valid = classes > -1
+    # (x, y, w, h) -> inclusive (x1, y1, x2, y2); clamp wh so padded
+    # (-1-filled) rows stay finite through log in box2delta
+    wh = jnp.maximum(targets[:, 2:4], 1e-4)
+    boxes = jnp.concatenate([targets[:, 0:2], targets[:, 0:2] + wh - 1], axis=1)
+
+    cell = _cell_xy(width, height, stride, targets.dtype)          # [H,W,2]
+    anchors = (jnp.concatenate([cell, cell], -1)[:, :, None, :]
+               + table).reshape(-1, 4)
+
+    overlap = jnp.where(valid[None, :], _axis_iou(anchors, boxes), -1.0)
+    best = jnp.argmax(overlap, axis=1)
+    best_iou = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
+    deltas = box2delta(boxes[best], anchors)
+    return _finalize(best_iou, classes[best], deltas, num_classes,
+                     anchor_ious, height, width, num_anchors)
+
+
+def snap_to_anchors_rotated(targets, size, stride, anchor_tables,
+                            num_classes, anchor_ious=(0.4, 0.5)):
+    """Rotated assignment: targets [max_det, 6] = (x, y, w, h, theta, cls).
+
+    anchor_tables: (axis [A,4], corners [A,8]) from
+    generate_anchors_rotated. Overlap uses polygon IoU between rotated
+    anchor corners and rotated target corners (odtk/box.py:192-252);
+    regression targets are 6-channel (dx, dy, dlogw, dlogh, sin, cos)
+    vs the *axis-aligned* anchor (odtk/box.py:227).
+    Returns (cls [H,W,A,K], box_deltas [H,W,A,6], depth [H,W,A]).
+    """
+    table_axis, table_rot = anchor_tables
+    table_axis = jnp.asarray(table_axis, targets.dtype)
+    table_rot = jnp.asarray(table_rot, targets.dtype)
+    width = int(size[0]) // int(stride)
+    height = int(size[1]) // int(stride)
+    num_anchors = table_axis.shape[0]
+
+    classes = targets[:, 5]
+    valid = classes > -1
+    safe = jnp.concatenate(
+        [targets[:, 0:2], jnp.maximum(targets[:, 2:4], 1e-4),
+         targets[:, 4:5]], axis=1)
+    boxes_axis, boxes_rot = rotate_boxes(safe)                     # [M,6],[M,8]
+
+    cell = _cell_xy(width, height, stride, targets.dtype)          # [H,W,2]
+    anchors_axis = (jnp.concatenate([cell, cell], -1)[:, :, None, :]
+                    + table_axis).reshape(-1, 4)
+    cell4 = jnp.concatenate([cell] * 4, axis=-1)                   # [H,W,8]
+    anchors_rot = (cell4[:, :, None, :] + table_rot).reshape(-1, 8)
+
+    overlap = rotated_pair_iou(anchors_rot, boxes_rot)             # [N, M]
+    overlap = jnp.where(valid[None, :], overlap, -1.0)
+    best = jnp.argmax(overlap, axis=1)
+    best_iou = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
+    deltas = box2delta_rotated(boxes_axis[best], anchors_axis)
+    return _finalize(best_iou, classes[best], deltas, num_classes,
+                     anchor_ious, height, width, num_anchors)

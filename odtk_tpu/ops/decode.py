@@ -1,0 +1,69 @@
+"""Box decoding + filtering per FPN level — static-shape XLA formulation.
+
+TPU-native equivalent of csrc/cuda/decode.cu / decode_rotate.cu: where
+the CUDA path does data-dependent compaction (threshold select + radix
+sort), XLA wants static shapes, so we take a fixed ``top_n`` with
+``lax.top_k`` and zero out entries below threshold — the reference's own
+output convention already pads unused slots with zero scores
+(decode.cu:161-167), so downstream semantics are identical.
+
+Head layout: NHWC with channel = a * K + k (anchor-major, class-minor),
+matching the reference conv-channel semantics (model.py:64-68) so that
+imported checkpoints decode identically.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def decode(cls_head, box_head, stride, threshold=0.05, top_n=1000,
+           anchors=None, rotated=False):
+    """Decode one level's heads into (scores, boxes, classes).
+
+    cls_head: [B, H, W, A*K] sigmoid probabilities.
+    box_head: [B, H, W, A*nb] regression deltas (nb = 4, or 6 rotated).
+    anchors:  [A, 4] table (axis-aligned; for rotated pass the axis
+              member of the pair, cf. odtk/box.py:258-259).
+    Returns scores [B, top_n], boxes [B, top_n, nb], classes [B, top_n];
+    slots below threshold have score/class/box zeroed.
+    """
+    nb = 6 if rotated else 4
+    b, h, w, chans = cls_head.shape
+    a = box_head.shape[-1] // nb
+    k = chans // a
+
+    scores_flat = cls_head.reshape(b, -1).astype(jnp.float32)  # (h,w,a,k) order
+    top_n = min(top_n, scores_flat.shape[1])
+    scores, idx = jax.lax.top_k(scores_flat, top_n)            # [B, top_n]
+
+    kk = idx % k
+    aa = (idx // k) % a
+    ww = (idx // (k * a)) % w
+    hh = idx // (k * a * w)
+
+    boxes_flat = box_head.reshape(b, h * w * a, nb).astype(jnp.float32)
+    deltas = jnp.take_along_axis(boxes_flat, (idx // k)[..., None], axis=1)
+
+    if anchors is not None:
+        table = jnp.asarray(anchors, jnp.float32)              # [A, 4]
+        cell = jnp.stack([ww, hh, ww, hh], axis=-1).astype(jnp.float32) * stride
+        anc = cell + table[aa]                                 # [B, top_n, 4]
+        aw = anc[..., 2:4] - anc[..., 0:2] + 1
+        actr = anc[..., 0:2] + 0.5 * aw
+        pred_ctr = deltas[..., 0:2] * aw + actr
+        pred_wh = jnp.exp(deltas[..., 2:4]) * aw
+        # Clamp like decode.cu:150-155: low end at 0, high end at size-1
+        lim = jnp.asarray([w * stride - 1, h * stride - 1], jnp.float32)
+        lo = jnp.maximum(pred_ctr - 0.5 * pred_wh, 0.0)
+        hi = jnp.minimum(pred_ctr + 0.5 * pred_wh - 1.0, lim)
+        box = jnp.concatenate([lo, hi], axis=-1)
+        if rotated:
+            box = jnp.concatenate([box, deltas[..., 4:6]], axis=-1)
+    else:
+        box = deltas
+
+    keep = scores > threshold
+    scores = jnp.where(keep, scores, 0.0)
+    classes = jnp.where(keep, kk, 0).astype(jnp.float32)
+    box = jnp.where(keep[..., None], box, 0.0)
+    return scores, box, classes

@@ -1,0 +1,121 @@
+"""Rotated-box (convex quad) IoU via vectorized Sutherland-Hodgman clipping.
+
+TPU-native reformulation of the reference CUDA polygon kernels
+(csrc/cuda/nms_iou.cu:114-169 ``IntersectionArea``, :324-375
+``iou_cuda_kernel``): the branchy per-thread clipping loop becomes a
+fixed-8-slot buffer with masked emission and a cumsum-compaction
+scatter, so the whole [N, M] IoU matrix vectorizes under vmap/jit with
+static shapes.
+
+Conventions preserved from the reference:
+  * subject polygon is the first argument, clipped against the second
+    (a convex quad), with a +0.001 pad on coordinates that exactly
+    coincide with the clip quad's matching corner (nms_iou.cu:209-219);
+  * ``iou = inter / (union - inter)`` where ``union = areaA + areaB``;
+  * NaN rules: inter NaN and union NaN -> 1.0; inter NaN alone -> 0.0
+    (nms_iou.cu:242-248, :367-373).
+"""
+
+import jax
+import jax.numpy as jnp
+
+_SLOTS = 8  # max vertices of quad-quad intersection
+
+
+def _clip_once(pts, count, v1, v2):
+    """Clip polygon (pts, count) against the directed line v1->v2."""
+    a = v2[1] - v1[1]
+    b = v1[0] - v2[0]
+    c = v2[0] * v1[1] - v2[1] * v1[0]
+
+    idx = jnp.arange(_SLOTS)
+    valid = idx < count
+    lv = a * pts[:, 0] + b * pts[:, 1] + c
+    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+    pts_n = pts[nxt]
+    lv_n = lv[nxt]
+
+    emit_vertex = valid & (lv <= 0)
+    emit_inter = valid & (lv * lv_n <= 0)
+
+    # Infinite-line intersection of the clip line with segment's line
+    a2 = pts_n[:, 1] - pts[:, 1]
+    b2 = pts[:, 0] - pts_n[:, 0]
+    c2 = pts_n[:, 0] * pts[:, 1] - pts_n[:, 1] * pts[:, 0]
+    w = a * b2 - b * a2
+    ipt = jnp.stack([(b * c2 - c * b2) / w, (c * a2 - a * c2) / w], axis=-1)
+
+    # Interleave (vertex_j, inter_j) candidates and compact via cumsum
+    cand = jnp.stack([pts, ipt], axis=1).reshape(2 * _SLOTS, 2)
+    keep = jnp.stack([emit_vertex, emit_inter], axis=1).reshape(2 * _SLOTS)
+    pos = jnp.where(keep, jnp.cumsum(keep) - 1, 2 * _SLOTS)
+    new_pts = jnp.zeros_like(pts).at[pos].set(cand, mode='drop')
+    new_count = jnp.sum(keep).astype(jnp.int32)
+    return new_pts, new_count
+
+
+def _shoelace(pts, count):
+    idx = jnp.arange(pts.shape[0])
+    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+    pts_n = pts[nxt]
+    cross = pts[:, 0] * pts_n[:, 1] - pts[:, 1] * pts_n[:, 0]
+    area = jnp.where(idx < count, cross, 0.0).sum()
+    return jnp.where(count > 2, jnp.abs(area) / 2.0, 0.0)
+
+
+def _quad_area(q):
+    """Shoelace area of a quad [4, 2]."""
+    nxt = jnp.roll(q, -1, axis=0)
+    return jnp.abs((q[:, 0] * nxt[:, 1] - q[:, 1] * nxt[:, 0]).sum()) / 2.0
+
+
+def _pair_iou(subject, clip):
+    """IoU of two quads, each [4, 2]; subject is clipped against clip."""
+    pad = jnp.where(subject == clip, 0.001, 0.0)
+    init = jnp.concatenate(
+        [subject + pad, jnp.full((_SLOTS - 4, 2), -1.0, subject.dtype)], axis=0)
+    pts, count = init, jnp.int32(4)
+    for i in range(4):
+        pts, count = _clip_once(pts, count, clip[i], clip[(i + 1) % 4])
+    inter = _shoelace(pts, count)
+    union = _quad_area(subject) + _quad_area(clip)
+    iou = inter / (union - inter)
+    both_nan = jnp.isnan(inter) & jnp.isnan(union)
+    return jnp.where(both_nan, 1.0, jnp.where(jnp.isnan(inter), 0.0, iou))
+
+
+def polygon_iou(subject_quads, clip_quads):
+    """Pairwise IoU of matched quads. Both [..., 8] -> [...]."""
+    s = subject_quads.reshape(*subject_quads.shape[:-1], 4, 2)
+    c = clip_quads.reshape(*clip_quads.shape[:-1], 4, 2)
+    fn = _pair_iou
+    for _ in range(s.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(s, c)
+
+
+def rotated_pair_iou(subject_quads, clip_quads):
+    """All-pairs IoU matrix: subject [N, 8] x clip [M, 8] -> [N, M].
+
+    Matches the training-time assignment kernel's orientation
+    (nms_iou.cu:324-375: rows are anchors/subjects, cols are boxes).
+    """
+    s = subject_quads.reshape(-1, 4, 2)
+    c = clip_quads.reshape(-1, 4, 2)
+    return jax.vmap(lambda sq: jax.vmap(lambda cq: _pair_iou(sq, cq))(c))(s)
+
+
+def sincos_box_corners(boxes):
+    """Corners [..., 8] of (x1,y1,x2,y2,sin,cos) boxes, NMS convention.
+
+    Mirrors nms_iou.cu:199-228: the axis-aligned rect is rotated about
+    its center by R = [[cos, -sin], [sin, cos]].
+    """
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    s, c = boxes[..., 4], boxes[..., 5]
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    xs = jnp.stack([x1, x2, x2, x1], axis=-1) - cx[..., None]
+    ys = jnp.stack([y1, y1, y2, y2], axis=-1) - cy[..., None]
+    rx = xs * c[..., None] - ys * s[..., None] + cx[..., None]
+    ry = ys * c[..., None] + xs * s[..., None] + cy[..., None]
+    return jnp.stack([rx, ry], axis=-1).reshape(*boxes.shape[:-1], 8)

@@ -1,0 +1,119 @@
+"""Decode + NMS tests against brute-force numpy implementations."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from odtk_tpu.ops import decode, nms, nms_rotated, generate_anchors
+
+
+def test_decode_recovers_planted_detection():
+    B, H, W, A, K = 1, 4, 4, 1, 3
+    stride = 8
+    table = generate_anchors(stride, [1.0], [4.0])
+    cls = np.full((B, H, W, A * K), 0.001, np.float32)
+    box = np.zeros((B, H, W, A * 4), np.float32)
+    cls[0, 2, 1, 2] = 0.9  # cell (h=2, w=1), class 2
+    scores, boxes, classes = decode(jnp.asarray(cls), jnp.asarray(box),
+                                    stride, threshold=0.05, top_n=10,
+                                    anchors=table)
+    s = np.asarray(scores)[0]
+    np.testing.assert_allclose(s[0], 0.9, atol=1e-6)
+    assert np.all(s[1:] == 0)  # everything else below threshold
+    assert np.asarray(classes)[0, 0] == 2
+    # zero deltas -> decoded box == anchor at that cell (clamped)
+    anc = np.array([1 * stride, 2 * stride] * 2) + np.asarray(table[0])
+    want = np.array([max(anc[0], 0), max(anc[1], 0),
+                     min(anc[2], W * stride - 1), min(anc[3], H * stride - 1)])
+    np.testing.assert_allclose(np.asarray(boxes)[0, 0], want, atol=1e-4)
+
+
+def test_decode_topn_ordering_and_threshold():
+    rng = np.random.RandomState(0)
+    B, H, W, A, K = 2, 8, 8, 9, 5
+    stride = 16
+    table = generate_anchors(stride, [1.0, 2.0, 0.5],
+                             [4 * 2 ** (i / 3) for i in range(3)])
+    cls = rng.rand(B, H, W, A * K).astype(np.float32) * 0.2
+    box = rng.randn(B, H, W, A * 4).astype(np.float32) * 0.1
+    scores, boxes, classes = decode(jnp.asarray(cls), jnp.asarray(box),
+                                    stride, threshold=0.05, top_n=50,
+                                    anchors=table)
+    s = np.asarray(scores)
+    assert s.shape == (B, 50)
+    # descending
+    assert np.all(np.diff(s, axis=1) <= 1e-6)
+    # the top-50 scores match numpy's top-50 of the raw map (> threshold)
+    for b in range(B):
+        flat = np.sort(cls[b].reshape(-1))[::-1][:50]
+        flat = np.where(flat > 0.05, flat, 0.0)
+        np.testing.assert_allclose(s[b], flat, atol=1e-6)
+
+
+def np_greedy_nms(scores, boxes, classes, thr, nd):
+    out_s = np.zeros(nd); out_b = np.zeros((nd, 4)); out_c = np.zeros(nd)
+    live = scores.copy()
+    for i in range(nd):
+        m = int(np.argmax(live))
+        if live[m] <= 0:
+            break
+        out_s[i], out_b[i], out_c[i] = live[m], boxes[m], classes[m]
+        x1 = np.maximum(boxes[:, 0], boxes[m, 0])
+        y1 = np.maximum(boxes[:, 1], boxes[m, 1])
+        x2 = np.minimum(boxes[:, 2], boxes[m, 2])
+        y2 = np.minimum(boxes[:, 3], boxes[m, 3])
+        inter = np.clip(x2 - x1 + 1, 0, None) * np.clip(y2 - y1 + 1, 0, None)
+        area = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+        iou = inter / (area + area[m] - inter)
+        live[(iou > thr) & (classes == classes[m])] = 0
+        live[m] = 0
+    return out_s, out_b, out_c
+
+
+def test_nms_suppresses_overlaps_same_class_only():
+    scores = np.array([[0.9, 0.8, 0.7, 0.6]], np.float32)
+    boxes = np.array([[[0, 0, 10, 10], [1, 1, 11, 11],
+                       [1, 1, 11, 11], [50, 50, 60, 60]]], np.float32)
+    classes = np.array([[0, 0, 1, 0]], np.float32)
+    s, b, c = nms(jnp.asarray(scores), jnp.asarray(boxes),
+                  jnp.asarray(classes), nms_thresh=0.5, ndetections=4)
+    s = np.asarray(s)[0]
+    # box1 suppressed by box0 (same class, IoU>0.5); box2 survives (class 1)
+    np.testing.assert_allclose(s, [0.9, 0.7, 0.6, 0.0], atol=1e-6)
+    assert np.asarray(c)[0, 1] == 1
+
+
+def test_nms_matches_bruteforce_random():
+    rng = np.random.RandomState(3)
+    N = 200
+    scores = np.where(rng.rand(N) > 0.3, rng.rand(N), 0).astype(np.float32)
+    xy = rng.uniform(0, 100, (N, 2))
+    wh = rng.uniform(5, 40, (N, 2))
+    boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    classes = rng.randint(0, 4, N).astype(np.float32)
+    want = np_greedy_nms(scores, boxes, classes, 0.5, 20)
+    got = nms(jnp.asarray(scores[None]), jnp.asarray(boxes[None]),
+              jnp.asarray(classes[None]), nms_thresh=0.5, ndetections=20)
+    np.testing.assert_allclose(np.asarray(got[0])[0], want[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1])[0], want[1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[2])[0], want[2], atol=1e-6)
+
+
+def test_nms_rotated_zero_angle_matches_axis():
+    """Zero-angle rotated NMS must agree with axis-aligned decisions."""
+    scores = np.array([[0.9, 0.8, 0.6]], np.float32)
+    base = np.array([[0, 0, 20, 20], [2, 2, 22, 22], [60, 60, 80, 80]],
+                    np.float32)
+    sincos = np.tile([0.0, 1.0], (3, 1)).astype(np.float32)
+    boxes6 = np.concatenate([base, sincos], 1)[None]
+    classes = np.zeros((1, 3), np.float32)
+    s, b, c = nms_rotated(jnp.asarray(scores), jnp.asarray(boxes6),
+                          jnp.asarray(classes), nms_thresh=0.5, ndetections=3)
+    s = np.asarray(s)[0]
+    np.testing.assert_allclose(s, [0.9, 0.6, 0.0], atol=1e-5)
+
+
+def test_nms_empty_input():
+    s, b, c = nms(jnp.zeros((1, 16)), jnp.zeros((1, 16, 4)),
+                  jnp.zeros((1, 16)), ndetections=5)
+    assert np.all(np.asarray(s) == 0)
+    assert np.all(np.asarray(b) == 0)
