@@ -1,0 +1,202 @@
+"""ResNet / ResNeXt feature extractors in flax (NHWC, bf16-friendly).
+
+Functional parity with the reference's torchvision subclass
+(odtk/backbones/resnet.py:7-39): returns the C3, C4, C5 feature maps
+(strides 8/16/32) for FPN, or C4 only for the C4 variants. Module names
+deliberately mirror torchvision's state_dict keys (conv1, bn1,
+layer{1-4}.{i}.conv{j}/bn{j}/downsample.{0,1}) so pretrained torch
+checkpoints map 1:1 through io.torch_import.
+"""
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import FixedBatchNorm
+from .registry import register
+
+_KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
+
+
+def _conv(features, kernel, stride=1, groups=1, name=None, dtype=jnp.float32):
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   feature_group_count=groups, dtype=dtype,
+                   param_dtype=jnp.float32, kernel_init=_KAIMING, name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _conv(self.planes, 3, self.stride, name='conv1',
+                    dtype=self.dtype)(x)
+        out = FixedBatchNorm(self.planes, dtype=self.dtype, name='bn1')(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, name='conv2', dtype=self.dtype)(out)
+        out = FixedBatchNorm(self.planes, dtype=self.dtype, name='bn2')(out)
+        if self.downsample:
+            identity = _conv(self.planes, 1, self.stride, name='downsample_0',
+                             dtype=self.dtype)(x)
+            identity = FixedBatchNorm(self.planes, dtype=self.dtype,
+                                      name='downsample_1')(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    width_per_group: int = 64
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        width = int(self.planes * (self.width_per_group / 64.0)) * self.groups
+        out_ch = self.planes * self.expansion
+        identity = x
+        out = _conv(width, 1, name='conv1', dtype=self.dtype)(x)
+        out = FixedBatchNorm(width, dtype=self.dtype, name='bn1')(out)
+        out = nn.relu(out)
+        out = _conv(width, 3, self.stride, groups=self.groups, name='conv2',
+                    dtype=self.dtype)(out)
+        out = FixedBatchNorm(width, dtype=self.dtype, name='bn2')(out)
+        out = nn.relu(out)
+        out = _conv(out_ch, 1, name='conv3', dtype=self.dtype)(out)
+        out = FixedBatchNorm(out_ch, dtype=self.dtype, name='bn3')(out)
+        if self.downsample:
+            identity = _conv(out_ch, 1, self.stride, name='downsample_0',
+                             dtype=self.dtype)(x)
+            identity = FixedBatchNorm(out_ch, dtype=self.dtype,
+                                      name='downsample_1')(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Returns feature maps C{level} for level in ``outputs``.
+
+    x: [B, H, W, 3] NHWC. Levels: C2=stride 4 ... C5=stride 32.
+    """
+    layers: Sequence[int] = (3, 4, 6, 3)
+    bottleneck: bool = True
+    outputs: Sequence[int] = (3, 4, 5)
+    groups: int = 1
+    width_per_group: int = 64
+    dtype: Any = jnp.float32
+
+    # FPN channel table hook (odtk/backbones/fpn.py:20-22)
+    @property
+    def feature_channels(self):
+        mult = 4 if self.bottleneck else 1
+        return [128 * mult, 256 * mult, 512 * mult]
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv(64, 7, 2, name='conv1', dtype=self.dtype)(x)
+        x = FixedBatchNorm(64, dtype=self.dtype, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        block = Bottleneck if self.bottleneck else BasicBlock
+        expansion = 4 if self.bottleneck else 1
+        outs = []
+        in_ch = 64
+        for stage, blocks in enumerate(self.layers):
+            level = stage + 2
+            if level > max(self.outputs):
+                break
+            planes = 64 * (2 ** stage)
+            stride = 1 if stage == 0 else 2
+            for i in range(blocks):
+                kwargs = dict(planes=planes, dtype=self.dtype,
+                              name=f'layer{stage + 1}_{i}')
+                if self.bottleneck:
+                    kwargs.update(groups=self.groups,
+                                  width_per_group=self.width_per_group)
+                needs_ds = (i == 0 and
+                            (stride != 1 or in_ch != planes * expansion))
+                x = block(stride=stride if i == 0 else 1,
+                          downsample=needs_ds, **kwargs)(x)
+            in_ch = planes * expansion
+            if level in self.outputs:
+                outs.append(x)
+        return outs
+
+
+@register
+def ResNet18FPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(2, 2, 2, 2), bottleneck=False, dtype=dtype),
+               dtype=dtype, name=name)
+
+
+@register
+def ResNet34FPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 4, 6, 3), bottleneck=False, dtype=dtype),
+               dtype=dtype, name=name)
+
+
+@register
+def ResNet50FPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 4, 6, 3), dtype=dtype), dtype=dtype, name=name)
+
+
+@register
+def ResNet101FPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 4, 23, 3), dtype=dtype), dtype=dtype, name=name)
+
+
+@register
+def ResNet152FPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 8, 36, 3), dtype=dtype), dtype=dtype, name=name)
+
+
+@register
+def ResNeXt50_32x4dFPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 4, 6, 3), groups=32, width_per_group=4,
+                      dtype=dtype), dtype=dtype, name=name)
+
+
+@register
+def ResNeXt101_32x8dFPN(dtype=jnp.float32, name=None):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 4, 23, 3), groups=32, width_per_group=8,
+                      dtype=dtype), dtype=dtype, name=name)
+
+
+class ResNetC4(nn.Module):
+    """Single-level C4 backbone (stride 16), reference resnet.py:41-47."""
+    layers: Sequence[int]
+    dtype: Any = jnp.float32
+    stride: int = 16
+    feature_channels = None
+
+    @nn.compact
+    def __call__(self, x):
+        net = ResNet(layers=self.layers, bottleneck=False, outputs=(4,),
+                     dtype=self.dtype, name='features')
+        return net(x)
+
+
+@register
+def ResNet18C4(dtype=jnp.float32, name=None):
+    return ResNetC4(layers=(2, 2, 2, 2), dtype=dtype, name=name)
+
+
+@register
+def ResNet34C4(dtype=jnp.float32, name=None):
+    return ResNetC4(layers=(3, 4, 6, 3), dtype=dtype, name=name)

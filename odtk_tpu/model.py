@@ -1,0 +1,274 @@
+"""RetinaNet — TPU-native model layer.
+
+Functional parity with the reference Model (odtk/model.py:15-305), split
+the JAX way: a flax ``RetinaNet`` module holds only parameters and the
+pure forward pass (backbones -> shared heads); the ``Model`` wrapper owns
+hyperparameters, anchors, the loss/inference functions that close over
+jnp ops, and checkpoint I/O. Train/eval/export are separate pure
+functions rather than module-state flags (cf. model.py:137-144).
+
+Layouts: NHWC images [B, H, W, 3]; head channels = anchor-major,
+class/box-minor (channel c = a * K + k), matching the reference conv
+semantics (model.py:64-68) so imported checkpoints behave identically.
+"""
+
+import math
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from . import backbones as backbones_mod
+from .ops import (decode, nms, nms_rotated, focal_loss, smooth_l1_loss,
+                  snap_to_anchors, snap_to_anchors_rotated,
+                  generate_anchors, generate_anchors_rotated)
+
+
+class RetinaNet(nn.Module):
+    """Backbones + shared classification/box heads.
+
+    Head structure (model.py:57-68): 4x (3x3 conv 256 + ReLU) then a
+    final 3x3 conv; cls head emits classes*A channels, box head 4*A
+    (or 6*A rotated, sin/cos theta). Conv param names use torch
+    Sequential indices (cls_head_0..cls_head_8) for checkpoint interop.
+    """
+    backbone_names: Sequence[str] = ('ResNet50FPN',)
+    classes: int = 80
+    num_anchors: int = 9
+    box_size: int = 4           # 6 when rotated
+    rotated: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.nets = [backbones_mod.build(b, dtype=self.dtype,
+                                         name=f'backbones_{b}')
+                     for b in self.backbone_names]
+        normal01 = nn.initializers.normal(stddev=0.01)
+        pi = 0.01
+        prior = nn.initializers.constant(-math.log((1 - pi) / pi))
+
+        def head_convs(prefix, out_size, final_bias):
+            convs = [nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)],
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=normal01,
+                             bias_init=nn.initializers.zeros,
+                             name=f'{prefix}_{i * 2}') for i in range(4)]
+            convs.append(nn.Conv(out_size, (3, 3), padding=[(1, 1), (1, 1)],
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 kernel_init=normal01, bias_init=final_bias,
+                                 name=f'{prefix}_8'))
+            return convs
+
+        self.cls_convs = head_convs('cls_head', self.classes * self.num_anchors,
+                                    prior)
+        box_final_bias = prior if self.rotated else nn.initializers.zeros
+        self.box_convs = head_convs('box_head', self.box_size * self.num_anchors,
+                                    box_final_bias)
+
+    def _run_head(self, convs, x):
+        for conv in convs[:-1]:
+            x = nn.relu(conv(x))
+        return convs[-1](x)
+
+    def __call__(self, x):
+        """x [B, H, W, 3] -> (cls_heads, box_heads): lists of NHWC logits."""
+        features = []
+        for net in self.nets:
+            features.extend(net(x))
+        cls_heads = [self._run_head(self.cls_convs, f) for f in features]
+        box_heads = [self._run_head(self.box_convs, f) for f in features]
+        return cls_heads, box_heads
+
+
+class Model:
+    """User-facing model: hyperparams + pure train/infer functions.
+
+    Mirrors the reference constructor signature (model.py:18-52):
+    ratios/scales/angles define the per-level anchor tables; ``config``
+    carries threshold/top_n/nms/detections.
+    """
+
+    def __init__(self, backbones='ResNet50FPN', classes=80,
+                 ratios=(1.0, 2.0, 0.5),
+                 scales=tuple(4 * 2 ** (i / 3) for i in range(3)),
+                 angles=None, rotated_bbox=False, anchor_ious=(0.4, 0.5),
+                 config=None, dtype=jnp.float32):
+        if not isinstance(backbones, (list, tuple)):
+            backbones = [backbones]
+        config = dict(config or {})
+
+        self.backbones = list(backbones)
+        self.name = 'RetinaNet'
+        self.classes = classes
+        self.ratios = list(ratios)
+        self.scales = list(scales)
+        self.rotated_bbox = rotated_bbox
+        self.angles = (list(angles) if angles is not None else
+                       [-np.pi / 6, 0, np.pi / 6] if rotated_bbox else None)
+        self.anchor_ious = tuple(anchor_ious)
+
+        self.threshold = config.get('threshold', 0.05)
+        self.top_n = config.get('top_n', 1000)
+        self.nms = config.get('nms', 0.5)
+        self.detections = config.get('detections', 100)
+
+        self.stride = 128            # padding stride (fpn.py:17)
+        self.dtype = dtype
+
+        self.num_anchors = len(self.ratios) * len(self.scales)
+        if rotated_bbox:
+            self.num_anchors *= len(self.angles)
+        self.box_size = 6 if rotated_bbox else 4
+
+        self.module = RetinaNet(
+            backbone_names=tuple(self.backbones), classes=classes,
+            num_anchors=self.num_anchors, box_size=self.box_size,
+            rotated=rotated_bbox, dtype=dtype)
+        self._anchors = {}
+        self.variables = None        # {'params': ..., 'frozen': ...}
+
+    def __repr__(self):
+        return '\n'.join([
+            '     model: {}'.format(self.name),
+            '  backbone: {}'.format(', '.join(self.backbones)),
+            '   classes: {}, anchors: {}'.format(self.classes,
+                                                 self.num_anchors)])
+
+    # ------------------------------------------------------------- anchors
+    def anchors(self, stride):
+        """Cached per-stride anchor table (model.py:156-157)."""
+        if stride not in self._anchors:
+            gen = (generate_anchors_rotated if self.rotated_bbox
+                   else generate_anchors)
+            self._anchors[stride] = gen(stride, self.ratios, self.scales,
+                                        self.angles)
+        return self._anchors[stride]
+
+    # ------------------------------------------------------------ init
+    def initialize(self, rng=0, image_size=(256, 256), fine_tune=None):
+        """Build initial variables; optionally graft fine-tune weights.
+
+        Fine-tune surgery matches model.py:80-98: load everything except
+        the final cls-head conv (and final box-head conv if rotated).
+        """
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        dummy = jnp.zeros((1, image_size[0], image_size[1], 3), self.dtype)
+        self.variables = unfreeze(self.module.init(rng, dummy))
+
+        if fine_tune is not None:
+            from .io import checkpoint as ckpt_io
+            donor, _ = ckpt_io.load(fine_tune)
+            skip = {('cls_head_8',)}
+            if self.rotated_bbox:
+                skip.add(('box_head_8',))
+            for coll in ('params', 'frozen'):
+                src = donor.variables.get(coll, {})
+                dst = self.variables[coll]
+                for key, sub in src.items():
+                    if (key,) in skip or key not in dst:
+                        continue
+                    try:
+                        ok = jax.tree_util.tree_all(
+                            jax.tree.map(lambda a, b: a.shape == b.shape,
+                                         dst[key], sub))
+                    except ValueError:   # mismatched tree structure
+                        ok = False
+                    if ok:
+                        dst[key] = sub
+        return self.variables
+
+    # ------------------------------------------------------------ loss
+    def loss_fn(self, variables, images, targets):
+        """(cls_loss, box_loss) in fp32; normalization per model.py:186-210.
+
+        images [B, H, W, 3]; targets [B, max_det, 5|6] padded with -1.
+        """
+        cls_heads, box_heads = self.module.apply(variables, images)
+        snap = (snap_to_anchors_rotated if self.rotated_bbox
+                else snap_to_anchors)
+
+        cls_losses, box_losses, fg_counts = [], [], []
+        for cls_head, box_head in zip(cls_heads, box_heads):
+            h, w = cls_head.shape[1:3]
+            stride = images.shape[2] // w
+            size_px = (w * stride, h * stride)
+            table = self.anchors(stride)
+
+            cls_t, box_t, depth = jax.vmap(partial(
+                snap, size=size_px, stride=stride, anchor_table=table,
+                num_classes=self.classes,
+                anchor_ious=self.anchor_ious))(targets.astype(jnp.float32))
+
+            b = cls_head.shape[0]
+            cls_p = cls_head.reshape(b, h, w, self.num_anchors, self.classes)
+            box_p = box_head.reshape(b, h, w, self.num_anchors, self.box_size)
+
+            fg_counts.append(jnp.maximum((depth > 0).sum(), 1).astype(jnp.float32))
+            cls_mask = (depth >= 0)[..., None]
+            cls_losses.append(
+                (focal_loss(cls_p, cls_t) * cls_mask).sum())
+            box_mask = (depth > 0)[..., None]
+            box_losses.append(
+                (smooth_l1_loss(box_p, box_t) * box_mask).sum())
+
+        fg_total = jnp.stack(fg_counts).sum()
+        cls_loss = jnp.stack(cls_losses).sum() / fg_total
+        box_loss = jnp.stack(box_losses).sum() / fg_total
+        return cls_loss, box_loss
+
+    # ------------------------------------------------------------ inference
+    def inference_fn(self, variables, images):
+        """Full post-processed inference: (scores, boxes, classes).
+
+        The whole pipeline — backbone, heads, sigmoid, per-level decode,
+        concat, NMS — is one jittable graph (the TPU-native equivalent
+        of the reference's TRT engine with spliced Decode/NMS plugins,
+        engine.cpp:141-188).
+        """
+        cls_heads, box_heads = self.module.apply(variables, images)
+        decoded = []
+        for cls_head, box_head in zip(cls_heads, box_heads):
+            stride = images.shape[2] // cls_head.shape[2]
+            table = self.anchors(stride)
+            anchor_table = table[0] if self.rotated_bbox else table
+            decoded.append(decode(
+                jax.nn.sigmoid(cls_head.astype(jnp.float32)),
+                box_head.astype(jnp.float32), stride,
+                threshold=self.threshold, top_n=self.top_n,
+                anchors=anchor_table, rotated=self.rotated_bbox))
+        scores = jnp.concatenate([d[0] for d in decoded], axis=1)
+        boxes = jnp.concatenate([d[1] for d in decoded], axis=1)
+        classes = jnp.concatenate([d[2] for d in decoded], axis=1)
+        nms_fn = nms_rotated if self.rotated_bbox else nms
+        return nms_fn(scores, boxes, classes, self.nms, self.detections)
+
+    def heads_fn(self, variables, images):
+        """Raw (sigmoid scores, boxes) per level — the export graph
+        (model.py:142-144)."""
+        cls_heads, box_heads = self.module.apply(variables, images)
+        return ([jax.nn.sigmoid(c.astype(jnp.float32)) for c in cls_heads],
+                [b.astype(jnp.float32) for b in box_heads])
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, state):
+        from .io import checkpoint as ckpt_io
+        ckpt_io.save(self, state)
+
+    @classmethod
+    def load(cls, filename, rotated_bbox=False, dtype=jnp.float32):
+        from .io import checkpoint as ckpt_io
+        return ckpt_io.load(filename, rotated_bbox=rotated_bbox, dtype=dtype)
+
+    # ------------------------------------------------------------ export
+    def export(self, size, batch=1, precision='bf16', path=None,
+               calibration_files=None, calibration_table=None):
+        from . import export as export_mod
+        return export_mod.export_model(
+            self, size, batch=batch, precision=precision, path=path,
+            calibration_files=calibration_files,
+            calibration_table=calibration_table)

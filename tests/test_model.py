@@ -1,0 +1,98 @@
+"""Model layer tests: shapes, loss behavior, inference pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from odtk_tpu.model import Model
+
+SIZE = 128  # one stride-128 tile -> levels 16,8,4,2,1
+
+
+@pytest.fixture(scope='module')
+def small_model():
+    m = Model(backbones='ResNet18FPN', classes=4)
+    m.initialize(rng=0, image_size=(SIZE, SIZE))
+    return m
+
+
+def test_head_shapes(small_model):
+    m = small_model
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    cls_heads, box_heads = m.module.apply(m.variables, x)
+    assert len(cls_heads) == 5
+    hw = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    for (h, w), c, b in zip(hw, cls_heads, box_heads):
+        assert c.shape == (1, h, w, 9 * 4)
+        assert b.shape == (1, h, w, 9 * 4)
+
+
+def test_prior_init_suppresses_detections(small_model):
+    """pi=0.01 prior bias -> all scores ~0.01 < 0.05 threshold -> no dets
+    (model.py:114-123 behavior)."""
+    m = small_model
+    x = jnp.asarray(np.random.RandomState(0).randn(1, SIZE, SIZE, 3) * 0.1,
+                    jnp.float32)
+    s, b, c = jax.jit(m.inference_fn)(m.variables, x)
+    assert float(s.max()) == 0.0
+
+
+def test_loss_finite_and_batch(small_model):
+    m = small_model
+    x = jnp.asarray(np.random.RandomState(1).randn(2, SIZE, SIZE, 3) * 0.1,
+                    jnp.float32)
+    t = np.full((2, 8, 5), -1.0, np.float32)
+    t[0, 0] = [10, 10, 40, 40, 1]
+    t[1, 0] = [50, 30, 30, 60, 3]
+    t[1, 1] = [5, 5, 20, 20, 0]
+    cl, bl = jax.jit(m.loss_fn)(m.variables, x, jnp.asarray(t))
+    assert np.isfinite(float(cl)) and np.isfinite(float(bl))
+    assert float(cl) > 0 and float(bl) > 0
+
+
+def test_loss_empty_targets_no_nan(small_model):
+    m = small_model
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    t = jnp.full((1, 8, 5), -1.0)
+    cl, bl = jax.jit(m.loss_fn)(m.variables, x, t)
+    assert np.isfinite(float(cl))
+    assert float(bl) == 0.0  # no fg anchors -> masked to zero
+
+
+def test_gradients_flow(small_model):
+    m = small_model
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    t = np.full((1, 8, 5), -1.0, np.float32)
+    t[0, 0] = [10, 10, 60, 60, 2]
+
+    def total(params):
+        variables = {'params': params, 'frozen': m.variables['frozen']}
+        cl, bl = m.loss_fn(variables, x, jnp.asarray(t))
+        return cl + bl
+
+    grads = jax.jit(jax.grad(total))(m.variables['params'])
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # frozen BN stats received no gradient by construction (separate coll)
+    assert 'frozen' not in grads
+
+
+def test_multi_backbone_forward():
+    m = Model(backbones=['ResNet18FPN', 'MobileNetV2FPN'], classes=2)
+    m.initialize(rng=0, image_size=(SIZE, SIZE))
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    cls_heads, _ = m.module.apply(m.variables, x)
+    assert len(cls_heads) == 10  # 5 levels per backbone (model.py:128-135)
+
+
+def test_rotated_model_shapes():
+    m = Model(backbones='ResNet18FPN', classes=3, rotated_bbox=True)
+    m.initialize(rng=0, image_size=(SIZE, SIZE))
+    assert m.num_anchors == 27
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    cls_heads, box_heads = m.module.apply(m.variables, x)
+    assert cls_heads[0].shape[-1] == 27 * 3
+    assert box_heads[0].shape[-1] == 27 * 6
+    s, b, c = m.inference_fn(m.variables, x)
+    assert b.shape[-1] == 6
