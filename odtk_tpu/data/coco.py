@@ -1,0 +1,270 @@
+"""COCO-JSON datasets with host-side decode + augmentation.
+
+Behavioral parity with the reference datasets (odtk/data.py:13-181 axis,
+:237-430 rotated): aspect-preserving resize with shorter-side target
+(randomized within ``jitter`` for training) capped by ``max_size``,
+90-degree rotation augment with box remap, horizontal flip, gaussian
+color jitter, ImageNet normalization, stride padding. pycocotools is
+not available in this environment, so COCO JSON parsing is done by a
+small native index (CocoIndex).
+
+TPU-first difference: images are padded to *bucketed* shapes (multiples
+of the model stride) rather than ragged per-batch maxima, bounding the
+number of distinct compiled shapes (SURVEY.md §7 'variable image
+sizes').
+"""
+
+import json
+import math
+import os
+import random
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+class CocoIndex:
+    """Minimal COCO-JSON index (the pycocotools.COCO surface we need)."""
+
+    def __init__(self, annotations_path=None, dataset=None):
+        if dataset is None:
+            with open(annotations_path) as f:
+                dataset = json.load(f)
+        self.dataset = dataset
+        self.imgs = {im['id']: im for im in dataset.get('images', [])}
+        self.anns = {}
+        self.img_to_anns = {im_id: [] for im_id in self.imgs}
+        for ann in dataset.get('annotations', []):
+            self.anns[ann['id']] = ann
+            self.img_to_anns.setdefault(ann['image_id'], []).append(ann)
+        self.cats = {c['id']: c for c in dataset.get('categories', [])}
+
+    def get_cat_ids(self):
+        return sorted(self.cats)
+
+    def get_img_ids(self):
+        return list(self.imgs)
+
+    def load_anns(self, img_id):
+        return self.img_to_anns.get(img_id, [])
+
+    @classmethod
+    def from_image_dir(cls, path):
+        """Bare image folder -> id-only dataset (odtk/infer.py:28-31)."""
+        images = [{'id': i, 'file_name': f}
+                  for i, f in enumerate(sorted(os.listdir(path)))]
+        return cls(dataset={'images': images})
+
+
+def _adjust_colors(arr, brightness, contrast, hue, saturation):
+    """Gaussian color jitter on a float [H,W,3] array in [0,1]
+    (reference samples: data.py:92-109)."""
+    if brightness:
+        f = max(0.0, random.normalvariate(1, brightness))
+        arr = arr * f
+    if contrast:
+        f = max(0.0, random.normalvariate(1, contrast))
+        gray = (arr @ np.asarray([0.299, 0.587, 0.114], np.float32)).mean()
+        arr = gray + (arr - gray) * f
+    if saturation:
+        f = max(0.0, random.normalvariate(1, saturation))
+        gray = arr @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        arr = gray[..., None] + (arr - gray[..., None]) * f
+    if hue:
+        f = float(np.clip(random.normalvariate(0, hue), -0.5, 0.5))
+        if abs(f) > 1e-8:
+            import colorsys  # noqa: F401  (documented rotation below)
+            # rotate hue channel in HSV space
+            import cv2
+            hsv = cv2.cvtColor(np.clip(arr, 0, 1), cv2.COLOR_RGB2HSV)
+            hsv[..., 0] = (hsv[..., 0] + f * 360.0) % 360.0
+            arr = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return np.clip(arr, 0.0, 1.0)
+
+
+def round_up(v, m):
+    return int(math.ceil(v / m) * m)
+
+
+class CocoDataset:
+    """Axis-aligned detection dataset.
+
+    __getitem__ -> (image [H,W,3] float32 normalized+padded,
+                    target [n,5] (x,y,w,h,class)) when training,
+                   (image, id, ratio) otherwise.
+    """
+    box_width = 5
+
+    def __init__(self, path, resize, max_size, stride, annotations=None,
+                 training=False, rotate_augment=False, augment_brightness=0.0,
+                 augment_contrast=0.0, augment_hue=0.0, augment_saturation=0.0,
+                 absolute_angle=False):
+        self.path = os.path.expanduser(path)
+        self.resize = resize
+        self.max_size = max_size
+        self.stride = stride
+        self.training = training
+        self.rotate_augment = rotate_augment
+        self.augment_brightness = augment_brightness
+        self.augment_contrast = augment_contrast
+        self.augment_hue = augment_hue
+        self.augment_saturation = augment_saturation
+        self.absolute_angle = absolute_angle
+
+        if annotations:
+            self.coco = CocoIndex(annotations)
+        else:
+            self.coco = CocoIndex.from_image_dir(self.path)
+        self.ids = self.coco.get_img_ids()
+        self.categories_inv = {k: i for i, k in
+                               enumerate(self.coco.get_cat_ids())}
+
+    def __len__(self):
+        return len(self.ids)
+
+    # ---------------------------------------------------------------- io
+    def _load_image(self, img_id):
+        name = self.coco.imgs[img_id]['file_name']
+        return Image.open(os.path.join(self.path, name)).convert('RGB')
+
+    def _get_target(self, img_id):
+        boxes, categories = [], []
+        for ann in self.coco.load_anns(img_id):
+            bbox = list(ann['bbox'])
+            if bbox[2] < 1 and bbox[3] < 1:
+                continue
+            boxes.append(self._prep_bbox(bbox, img_id))
+            cat = ann['category_id']
+            if self.categories_inv:
+                cat = self.categories_inv[cat]
+            categories.append(cat)
+        if boxes:
+            return (np.asarray(boxes, np.float32),
+                    np.asarray(categories, np.float32)[:, None])
+        w = self.box_width - 1
+        return np.ones((1, w), np.float32), -np.ones((1, 1), np.float32)
+
+    def _prep_bbox(self, bbox, img_id):
+        return bbox[:4]
+
+    # ---------------------------------------------------------- transforms
+    def _sample_resize(self):
+        r = self.resize
+        if isinstance(r, (list, tuple)):
+            r = random.randint(int(r[0]), int(r[-1]))
+        return r
+
+    def __getitem__(self, index):
+        img_id = self.ids[index]
+        im = self._load_image(img_id)
+
+        resize = self._sample_resize()
+        ratio = resize / min(im.size)
+        if ratio * max(im.size) > self.max_size:
+            ratio = self.max_size / max(im.size)
+        im = im.resize((int(ratio * d) for d in im.size), Image.BILINEAR)
+        w, h = im.size
+
+        target = None
+        if self.training:
+            boxes, categories = self._get_target(img_id)
+            boxes = self._scale_boxes(boxes, ratio)
+            im, boxes = self._geometric_augment(im, boxes)
+            w, h = im.size
+            arr = np.asarray(im, np.float32) / 255.0
+            arr = _adjust_colors(arr, self.augment_brightness,
+                                 self.augment_contrast, self.augment_hue,
+                                 self.augment_saturation)
+            target = np.concatenate([boxes, categories], axis=1)
+        else:
+            arr = np.asarray(im, np.float32) / 255.0
+
+        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+        # stride padding (data.py:122-123)
+        ph = round_up(h, self.stride) - h
+        pw = round_up(w, self.stride) - w
+        if ph or pw:
+            arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+
+        if self.training:
+            return arr, target
+        return arr, img_id, ratio
+
+    def _scale_boxes(self, boxes, ratio):
+        boxes = boxes.copy()
+        boxes[:, :4] *= ratio
+        return boxes
+
+    def _geometric_augment(self, im, boxes):
+        # 90-degree-step rotation (data.py:67-86)
+        angle = random.randint(0, 3) * 90
+        if self.rotate_augment and angle != 0:
+            im = im.rotate(angle)  # PIL rotates CCW, same-size canvas
+            w, h = im.size
+            x, y, bw, bh = (boxes[:, i].copy() for i in range(4))
+            if angle == 90:
+                boxes[:, 0] = y - h / 2 + w / 2
+                boxes[:, 1] = w / 2 + h / 2 - x - bw
+                boxes[:, 2], boxes[:, 3] = bh, bw
+            elif angle == 180:
+                boxes[:, 0] = w - x - bw
+                boxes[:, 1] = h - y - bh
+            elif angle == 270:
+                boxes[:, 0] = w / 2 + h / 2 - y - bh
+                boxes[:, 1] = x - w / 2 + h / 2
+                boxes[:, 2], boxes[:, 3] = bh, bw
+        # horizontal flip (data.py:87-90)
+        if random.randint(0, 1):
+            im = im.transpose(Image.FLIP_LEFT_RIGHT)
+            boxes[:, 0] = im.size[0] - boxes[:, 0] - boxes[:, 2]
+        return im, boxes
+
+
+class RotatedCocoDataset(CocoDataset):
+    """Rotated-box dataset: targets are (x, y, w, h, theta, class)
+    (odtk/data.py:237-430)."""
+    box_width = 6
+
+    def _prep_bbox(self, bbox, img_id):
+        if len(bbox) == 4:
+            return bbox + [0.0]
+        assert len(bbox) == 5, \
+            f'Bounding box for image {img_id} must have 5 entries'
+        return bbox[:5]
+
+    def _scale_boxes(self, boxes, ratio):
+        boxes = boxes.copy()
+        boxes[:, :4] *= ratio      # theta unscaled (data.py:291)
+        return boxes
+
+    def _geometric_augment(self, im, boxes):
+        angle = random.randint(0, 3) * 90
+        if self.rotate_augment and angle != 0:
+            ow, oh = im.size
+            im = im.rotate(angle, expand=True)
+            x, y, bw, bh, t = (boxes[:, i].copy() for i in range(5))
+            if angle == 90:
+                boxes[:, 0] = y
+                boxes[:, 1] = ow - x - bw
+                if not self.absolute_angle:
+                    boxes[:, 2], boxes[:, 3] = bh, bw
+            elif angle == 180:
+                boxes[:, 0] = ow - x - bw
+                boxes[:, 1] = oh - y - bh
+            elif angle == 270:
+                boxes[:, 0] = oh - y - bh
+                boxes[:, 1] = x
+                if not self.absolute_angle:
+                    boxes[:, 2], boxes[:, 3] = bh, bw
+            if self.absolute_angle:
+                t = t + math.radians(angle)
+                boxes[:, 4] = np.sign(t) * np.remainder(np.abs(t), math.pi)
+        if random.randint(0, 1):
+            im = im.transpose(Image.FLIP_LEFT_RIGHT)
+            boxes[:, 0] = im.size[0] - boxes[:, 0] - boxes[:, 2]
+            boxes[:, 4] = -boxes[:, 4]
+        return im, boxes

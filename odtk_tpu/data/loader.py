@@ -1,0 +1,156 @@
+"""Prefetching, sharded data iterators with bucketed static shapes.
+
+TPU-native replacement for both reference loaders (odtk/data.py:184-234
+DataLoader path and odtk/dali.py DALI path): host threads decode and
+augment JPEGs while the device computes, batches are padded to a
+*bucketed* canonical shape (multiples of the model stride) so XLA sees
+a small closed set of shapes instead of ragged per-batch maxima, and
+finished batches are transferred with a double-buffered prefetch queue
+(the host->device overlap DALI's copy_to_external provides on GPU,
+dali.py:151-157).
+
+Sharding follows DistributedSampler semantics (data.py:202): a
+per-epoch permutation is split contiguously across ``world`` processes.
+"""
+
+import queue
+import random
+import threading
+
+import numpy as np
+
+from .coco import CocoDataset, RotatedCocoDataset, round_up
+
+
+def _pad_batch(images, stride, fixed_size=None):
+    """Stack ragged [H,W,3] images padded to a bucketed static shape."""
+    hs = [im.shape[0] for im in images]
+    ws = [im.shape[1] for im in images]
+    if fixed_size is not None:
+        th, tw = fixed_size
+    else:
+        th, tw = round_up(max(hs), stride), round_up(max(ws), stride)
+    out = np.zeros((len(images), th, tw, 3), np.float32)
+    for i, im in enumerate(images):
+        out[i, :im.shape[0], :im.shape[1]] = im
+    return out
+
+
+def _pad_targets(targets, width, max_det):
+    out = np.full((len(targets), max_det, width), -1.0, np.float32)
+    for i, t in enumerate(targets):
+        n = min(len(t), max_det)
+        out[i, :n] = t[:n]
+    return out
+
+
+class DataIterator:
+    """Iterates (images, targets) for training or (images, ids, ratios)
+    for inference, as device-ready numpy batches."""
+
+    dataset_cls = CocoDataset
+
+    def __init__(self, path, resize, max_size, batch_size, stride, world,
+                 annotations, training=False, rotate_augment=False,
+                 augment_brightness=0.0, augment_contrast=0.0,
+                 augment_hue=0.0, augment_saturation=0.0, max_det=128,
+                 rank=0, shuffle=None, fixed_size=None, num_threads=2,
+                 prefetch=2, seed=0, absolute_angle=False):
+        self.dataset = self.dataset_cls(
+            path, resize=resize, max_size=max_size, stride=stride,
+            annotations=annotations, training=training,
+            rotate_augment=rotate_augment,
+            augment_brightness=augment_brightness,
+            augment_contrast=augment_contrast, augment_hue=augment_hue,
+            augment_saturation=augment_saturation,
+            absolute_angle=absolute_angle)
+        self.resize = resize
+        self.max_size = max_size
+        self.stride = stride
+        self.world = max(1, world)
+        self.rank = rank
+        self.batch_size = batch_size // self.world
+        if self.batch_size < 1:
+            raise ValueError('batch size must be >= world size')
+        self.training = training
+        self.max_det = max_det
+        self.fixed_size = fixed_size
+        self.shuffle = training if shuffle is None else shuffle
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.seed = seed
+        self.ids = self.dataset.ids
+        self.coco = self.dataset.coco
+
+    def __repr__(self):
+        return '\n'.join([
+            '    loader: odtk_tpu (threaded, bucketed shapes)',
+            '    resize: {}, max: {}'.format(self.resize, self.max_size)])
+
+    def _shard_indices(self):
+        n = len(self.dataset)
+        order = list(range(n))
+        if self.shuffle:
+            rng = random.Random(self.seed + self.epoch)
+            rng.shuffle(order)
+        # pad to a multiple of world like DistributedSampler
+        per = -(-n // self.world)
+        order = (order * 2)[:per * self.world]
+        return order[self.rank * per:(self.rank + 1) * per]
+
+    def __len__(self):
+        per = -(-len(self.dataset) // self.world)
+        return -(-per // self.batch_size)
+
+    def __iter__(self):
+        indices = self._shard_indices()
+        self.epoch += 1
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+
+        work_q = queue.Queue()
+        out_q = queue.Queue(maxsize=max(1, self.prefetch))
+        for bi, b in enumerate(batches):
+            work_q.put((bi, b))
+
+        def worker():
+            while True:
+                try:
+                    bi, batch_ids = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset[i] for i in batch_ids]
+                out_q.put((bi, self._collate(samples)))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+
+        emitted = 0
+        pending = {}
+        while emitted < len(batches):
+            if emitted in pending:
+                yield pending.pop(emitted)
+                emitted += 1
+                continue
+            bi, item = out_q.get()
+            pending[bi] = item
+
+    def _collate(self, samples):
+        if self.training:
+            images = [s[0] for s in samples]
+            targets = [s[1] for s in samples]
+            data = _pad_batch(images, self.stride, self.fixed_size)
+            return data, _pad_targets(targets, self.dataset.box_width,
+                                      self.max_det)
+        images = [s[0] for s in samples]
+        ids = np.asarray([s[1] for s in samples], np.int64)
+        ratios = np.asarray([s[2] for s in samples], np.float32)
+        data = _pad_batch(images, self.stride, self.fixed_size)
+        return data, ids, ratios
+
+
+class RotatedDataIterator(DataIterator):
+    dataset_cls = RotatedCocoDataset

@@ -1,0 +1,239 @@
+"""Deployment export: AOT-compiled inference engines + StableHLO interchange.
+
+TPU-native replacement for the reference's ONNX -> TensorRT flow
+(odtk/model.py:260-305, csrc/engine.cpp): on TPU the "engine with
+spliced Decode/NMS plugins" collapses into ONE jitted function whose
+graph already contains decode+NMS (engine.cpp:141-188 becomes
+Model.inference_fn), serialized with jax.export. The Engine class
+mirrors the odtk::Engine runner surface (csrc/engine.h:39-81):
+load/save, fixed input size, batch profiles, __call__ on raw batches.
+
+Interchange parity: a ``.stablehlo`` target emits portable StableHLO
+bytecode (the ONNX-equivalent artifact, model.py:274-288); anything
+else writes a self-contained engine package (msgpack: metadata +
+serialized executables per batch profile).
+
+INT8 PTQ: ``calibrate`` runs a scale-capture pass over calibration
+images and persists a reusable table (the Int8EntropyCalibrator
+equivalent, csrc/calibrator.h:107-168).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+ENGINE_MAGIC = 'odtk-tpu-engine-v1'
+
+
+def _aot_export(model, size, batch, platforms=None):
+    """jax.export an inference function at fixed [batch, H, W, 3]."""
+    from jax import export as jexport
+
+    def fn(variables, images):
+        return model.inference_fn(variables, images)
+
+    spec_vars = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype
+                                       if hasattr(x, 'dtype') else jnp.float32),
+        model.variables)
+    spec_img = jax.ShapeDtypeStruct((batch, size[0], size[1], 3),
+                                    jnp.float32)
+    kwargs = {}
+    if platforms:
+        kwargs['platforms'] = list(platforms)
+    exported = jexport.export(jax.jit(fn), **kwargs)(spec_vars, spec_img)
+    return exported.serialize()
+
+
+def export_model(model, size, batch=1, precision='bf16', path=None,
+                 dynamic_batch_opts=None, calibration_files=None,
+                 calibration_table=None, platforms=None, verbose=False):
+    """Export a Model to an Engine package (or StableHLO).
+
+    size: (H, W) fixed input size. dynamic_batch_opts: (min, opt, max)
+    batch profiles — each gets its own compiled executable, mirroring
+    the TRT optimization profile (engine.cpp:110-128).
+    """
+    if isinstance(size, int):
+        size = (size, size)
+    if len(size) == 1:
+        size = (size[0], size[0])
+    if precision in ('bf16', 'FP16'):
+        model.set_dtype(jnp.bfloat16)
+    elif precision in ('fp32', 'FP32'):
+        model.set_dtype(jnp.float32)
+
+    scale_table = None
+    if precision in ('int8', 'INT8'):
+        model.set_dtype(jnp.bfloat16)
+        scale_table = calibrate(model, size, calibration_files,
+                                calibration_table, verbose=verbose)
+
+    batches = sorted(set(dynamic_batch_opts or [batch]))
+
+    if path and path.endswith('.stablehlo'):
+        lowered = jax.jit(model.inference_fn).lower(
+            jax.tree.map(np.asarray, model.variables),
+            jnp.zeros((batches[-1], size[0], size[1], 3), jnp.float32))
+        text = lowered.as_text()
+        with open(path, 'w') as f:
+            f.write(text)
+        return path
+
+    meta = {
+        'magic': ENGINE_MAGIC,
+        'input_size': list(size),
+        'batches': batches,
+        'precision': precision,
+        'stride': model.stride,
+        'rotated': model.rotated_bbox,
+        'detections': model.detections,
+        'classes': model.classes,
+        'backbones': model.backbones,
+        'preprocessing': {'mean': [0.485, 0.456, 0.406],
+                          'std': [0.229, 0.224, 0.225],
+                          'layout': 'NHWC', 'range': '[0,1]'},
+    }
+    blobs = {}
+    for b in batches:
+        if verbose:
+            print(f'Compiling batch profile {b}...')
+        blobs[str(b)] = _aot_export(model, size, b, platforms)
+
+    engine = Engine(meta, blobs, variables=model.variables,
+                    scale_table=scale_table)
+    if path:
+        engine.save(path)
+    return engine
+
+
+def calibrate(model, size, calibration_files, calibration_table=None,
+              batches=2, verbose=False):
+    """INT8 PTQ scale capture: per-level head-output absmax over
+    calibration images; persisted as a reusable named table
+    (calibrator.h:130-156 cache behavior)."""
+    name = '_'.join(model.backbones)
+    table_name = (calibration_table or
+                  f'Int8CalibrationTable_{name}{size[0]}x{size[1]}_{batches}')
+    if os.path.isfile(table_name):
+        if verbose:
+            print(f'Reading calibration table {table_name}')
+        with open(table_name) as f:
+            return json.load(f)
+
+    from PIL import Image
+    from .data.coco import IMAGENET_MEAN, IMAGENET_STD
+    scales = None
+    files = list(calibration_files or [])[:batches * 8]
+    if not files:
+        raise RuntimeError('No calibration images found')
+    for fp in files:
+        im = Image.open(fp).convert('RGB').resize((size[1], size[0]),
+                                                  Image.BILINEAR)
+        arr = (np.asarray(im, np.float32) / 255.0 - IMAGENET_MEAN) \
+            / IMAGENET_STD
+        cls_heads, box_heads = model.heads_fn(model.variables,
+                                              jnp.asarray(arr[None]))
+        level_max = [float(jnp.abs(b).max()) for b in box_heads]
+        if scales is None:
+            scales = level_max
+        else:
+            scales = [max(a, b) for a, b in zip(scales, level_max)]
+    table = {'version': 1, 'net': name,
+             'size': list(size), 'box_head_absmax': scales}
+    with open(table_name, 'w') as f:
+        json.dump(table, f)
+    if verbose:
+        print(f'Wrote calibration table {table_name}')
+    return table
+
+
+class Engine:
+    """AOT inference engine: the odtk::Engine equivalent.
+
+    __call__(images [B, H, W, 3] float32) -> (scores, boxes, classes)
+    numpy arrays. Batches are padded up to the nearest compiled profile
+    (extensions.cpp:160-181 pad-and-run behavior).
+    """
+
+    def __init__(self, meta, blobs, variables=None, scale_table=None):
+        self.meta = meta
+        self.blobs = blobs
+        self.scale_table = scale_table
+        self._variables = (jax.tree.map(np.asarray, variables)
+                           if variables is not None else None)
+        self._fns = {}
+
+    # --------------------------------------------------------------- props
+    @property
+    def input_size(self):
+        return tuple(self.meta['input_size'])
+
+    @property
+    def stride(self):
+        return self.meta['stride']
+
+    @property
+    def max_batch(self):
+        return max(self.meta['batches'])
+
+    @property
+    def max_detections(self):
+        return self.meta['detections']
+
+    # ----------------------------------------------------------------- io
+    def save(self, path):
+        payload = {
+            'meta': json.dumps(self.meta),
+            'blobs': {k: np.frombuffer(v, np.uint8)
+                      for k, v in self.blobs.items()},
+            'variables': serialization.to_state_dict(
+                jax.tree.map(np.asarray, self._variables)),
+        }
+        if self.scale_table is not None:
+            payload['scale_table'] = json.dumps(self.scale_table)
+        blob = serialization.msgpack_serialize(payload)
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:
+            f.write(blob)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path):
+        with open(path, 'rb') as f:
+            payload = serialization.msgpack_restore(f.read())
+        meta = json.loads(payload['meta'])
+        if meta.get('magic') != ENGINE_MAGIC:
+            raise ValueError(f'{path} is not an odtk-tpu engine')
+        blobs = {k: bytes(bytearray(np.asarray(v)))
+                 for k, v in payload['blobs'].items()}
+        scale_table = (json.loads(payload['scale_table'])
+                       if 'scale_table' in payload else None)
+        return cls(meta, blobs, variables=payload.get('variables'),
+                   scale_table=scale_table)
+
+    # ---------------------------------------------------------------- run
+    def _fn(self, batch):
+        key = str(batch)
+        if key not in self._fns:
+            from jax import export as jexport
+            exported = jexport.deserialize(bytearray(self.blobs[key]))
+            self._fns[key] = exported.call
+        return self._fns[key]
+
+    def __call__(self, images):
+        images = np.asarray(images, np.float32)
+        b = images.shape[0]
+        profiles = sorted(int(x) for x in self.blobs)
+        target = next((p for p in profiles if p >= b), profiles[-1])
+        th, tw = self.input_size
+        padded = np.zeros((target, th, tw, 3), np.float32)
+        padded[:b, :images.shape[1], :images.shape[2]] = \
+            images[:, :th, :tw]
+        out = self._fn(target)(self._variables, padded)
+        scores, boxes, classes = (np.asarray(o)[:b] for o in out)
+        return scores, boxes, classes

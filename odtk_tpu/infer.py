@@ -1,0 +1,180 @@
+"""Inference / evaluation workflow.
+
+Functional parity with odtk/infer.py:18-177: batched jitted inference
+(the whole backbone->decode->NMS pipeline is one XLA graph), per-host
+result gathering, detection-JSON writing, and COCO evaluation — with
+the native CocoEvaluator standing in for pycocotools ('bbox' for axis
+models, 'segm' polygon IoU for rotated ones, infer.py:161-173).
+
+Backends: a Model (jit path) or an exported AOT engine
+(odtk_tpu.export.Engine — the TensorRT-plan equivalent, infer.py:23).
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from .data import DataIterator, RotatedDataIterator, CocoEvaluator
+from .parallel import make_mesh_for_batch, batch_sharding, \
+    replicated_sharding, shard_batch, world_info, all_gather_host
+from .utils import Profiler, rotate_box
+
+
+def infer(model, path, detections_file, resize, max_size, batch_size,
+          mixed_precision=True, is_master=True, world=0, annotations=None,
+          is_validation=False, verbose=True, rotated_bbox=False,
+          use_dali=False, max_det=None):
+    'Run inference on images from path'
+    del use_dali
+    import jax.numpy as jnp
+
+    from .model import Model
+    backend = 'jax' if isinstance(model, Model) else 'engine'
+
+    rank, world = world_info()
+    is_master = rank == 0
+    stride = model.stride
+
+    fixed_size = None
+    if backend == 'engine':
+        # AOT engines are compiled for a fixed input size (infer.py:34)
+        fixed_size = model.input_size
+        max_size = max(fixed_size)
+
+    if verbose:
+        print('Preparing dataset...')
+    iterator_cls = RotatedDataIterator if rotated_bbox else DataIterator
+    data_iterator = iterator_cls(
+        path, resize, max_size, batch_size, stride, world, annotations,
+        training=False, rank=rank, fixed_size=fixed_size)
+    if verbose:
+        print(data_iterator)
+
+    if backend == 'jax':
+        if mixed_precision:
+            model.set_dtype(jnp.bfloat16)
+        mesh = make_mesh_for_batch(batch_size // max(1, world))
+        infer_fn = jax.jit(
+            model.inference_fn,
+            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh, 4)),
+            out_shardings=batch_sharding(mesh, 1))
+        variables = model.variables
+    else:
+        mesh = None
+
+    if verbose:
+        print('   backend: {}'.format(backend))
+        print('    device: {} {}'.format(
+            len(jax.devices()), jax.devices()[0].platform.upper()))
+        print('     batch: {}, precision: {}'.format(
+            batch_size, 'mixed (bf16)' if mixed_precision else 'full (fp32)'))
+        print(' BBOX type:', 'rotated' if rotated_bbox else 'axis aligned')
+        print('Running inference...')
+
+    results = []
+    profiler = Profiler(['infer', 'fw'])
+    for i, (data, ids, ratios) in enumerate(data_iterator):
+        profiler.start('fw')
+        if backend == 'jax':
+            images = shard_batch(mesh, data)
+            scores, boxes, classes = infer_fn(variables, images)
+            scores, boxes, classes = jax.device_get((scores, boxes, classes))
+        else:
+            scores, boxes, classes = model(data)
+        profiler.stop('fw')
+        results.append([np.asarray(scores), np.asarray(boxes),
+                        np.asarray(classes), ids, ratios])
+        profiler.bump('infer')
+        if verbose and (profiler.totals['infer'] > 60
+                        or i == len(data_iterator) - 1):
+            size = len(data_iterator.ids)
+            msg = '[{:{len}}/{}]'.format(
+                min((i + 1) * batch_size, size), size, len=len(str(size)))
+            msg += ' {:.3f}s/{}-batch'.format(profiler.means['infer'],
+                                              batch_size)
+            msg += ' (fw: {:.3f}s)'.format(profiler.means['fw'])
+            msg += ', {:.1f} im/s'.format(batch_size / profiler.means['infer'])
+            print(msg, flush=True)
+            profiler.reset()
+
+    if verbose:
+        print('Gathering results...')
+    results = [np.concatenate(r, axis=0) for r in zip(*results)]
+    if world > 1:
+        gathered = [all_gather_host(r) for r in results]
+        results = [g.reshape(-1, *r.shape[1:])
+                   for g, r in zip(gathered, results)]
+
+    if not is_master:
+        return 0
+
+    detections = []
+    processed_ids = set()
+    for scores, boxes, classes, image_id, ratio in zip(*results):
+        image_id = int(image_id)
+        if image_id in processed_ids:
+            continue
+        processed_ids.add(image_id)
+        keep = scores > 0
+        scores_k = scores[keep]
+        boxes_k = boxes[keep]
+        classes_k = classes[keep].astype(np.int64)
+        if rotated_bbox:
+            boxes_k = boxes_k.copy()
+            boxes_k[:, :4] /= ratio
+        else:
+            boxes_k = boxes_k / ratio
+
+        cat_ids = data_iterator.coco.get_cat_ids()
+        for score, box, cat in zip(scores_k, boxes_k, classes_k):
+            if rotated_bbox:
+                x1, y1, x2, y2, sin, cos = box.tolist()
+                theta = float(np.arctan2(sin, cos))
+                w = x2 - x1 + 1
+                h = y2 - y1 + 1
+                seg = rotate_box([x1, y1, w, h, theta])
+            else:
+                x1, y1, x2, y2 = box.tolist()
+            cat = int(cat)
+            if cat_ids:
+                cat = cat_ids[cat]
+            this_det = {
+                'image_id': image_id,
+                'score': float(score),
+                'category_id': cat}
+            if rotated_bbox:
+                this_det['bbox'] = [x1, y1, x2 - x1 + 1, y2 - y1 + 1, theta]
+                this_det['segmentation'] = [seg]
+            else:
+                this_det['bbox'] = [x1, y1, x2 - x1 + 1, y2 - y1 + 1]
+            detections.append(this_det)
+
+    if not detections:
+        print('No detections!')
+        return None
+
+    # Save detections (schema parity: infer.py:150-159)
+    out = {'annotations': detections,
+           'images': data_iterator.coco.dataset.get('images', [])}
+    if 'categories' in data_iterator.coco.dataset:
+        out['categories'] = data_iterator.coco.dataset['categories']
+    if detections_file:
+        if isinstance(detections_file, str):
+            detections_file = [detections_file]
+        for d_file in detections_file:
+            if verbose:
+                print('Writing {}...'.format(d_file))
+            import json
+            with open(d_file, 'w') as f:
+                json.dump(out, f, indent=4)
+
+    if 'annotations' in data_iterator.coco.dataset:
+        if verbose:
+            print('Evaluating model...')
+        evaluator = CocoEvaluator(
+            data_iterator.coco,
+            iou_type='segm' if rotated_bbox else 'bbox')
+        stats = evaluator.evaluate(detections, verbose=True)
+        return stats
+    return None

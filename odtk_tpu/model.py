@@ -138,6 +138,14 @@ class Model:
             '   classes: {}, anchors: {}'.format(self.classes,
                                                  self.num_anchors)])
 
+    def set_dtype(self, dtype):
+        """Switch compute dtype (bf16 mixed precision); params stay fp32,
+        so existing variables remain valid."""
+        if dtype != self.dtype:
+            self.dtype = dtype
+            self.module = self.module.replace(dtype=dtype)
+        return self
+
     # ------------------------------------------------------------- anchors
     def anchors(self, stride):
         """Cached per-stride anchor table (model.py:156-157)."""
@@ -265,10 +273,13 @@ class Model:
         return ckpt_io.load(filename, rotated_bbox=rotated_bbox, dtype=dtype)
 
     # ------------------------------------------------------------ export
-    def export(self, size, batch=1, precision='bf16', path=None,
-               calibration_files=None, calibration_table=None):
+    def export(self, size, dynamic_batch_opts=None, precision='bf16',
+               calibration_files=None, calibration_table=None,
+               verbose=False, path=None):
+        """AOT-export (reference surface: model.py:260-305)."""
         from . import export as export_mod
         return export_mod.export_model(
-            self, size, batch=batch, precision=precision, path=path,
+            self, size, precision=precision, path=path,
+            dynamic_batch_opts=dynamic_batch_opts,
             calibration_files=calibration_files,
-            calibration_table=calibration_table)
+            calibration_table=calibration_table, verbose=verbose)

@@ -1,0 +1,70 @@
+"""Mesh construction and batch/parameter shardings (pure-DP layout).
+
+DP maps NCCL DDP (SURVEY.md §2.4): batch axis sharded over the ``data``
+mesh axis, parameters replicated; the gradient all-reduce becomes an
+XLA psum over ICI inserted automatically by jit.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name='data'):
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_for_batch(local_batch, axis_name='data'):
+    """Mesh over the largest device prefix that evenly divides the
+    per-host batch (keeps sharding legal for small debug batches)."""
+    devices = jax.devices()
+    if jax.process_count() > 1:
+        return make_mesh(devices, axis_name)   # divisibility enforced upstream
+    n = len(jax.local_devices())
+    while n > 1 and local_batch % n != 0:
+        n -= 1
+    return make_mesh(devices[:n], axis_name)
+
+
+def batch_sharding(mesh, ndim=1, axis_name='data'):
+    """Shard dim 0 on the data axis, replicate the rest."""
+    spec = P(axis_name, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, *arrays, axis_name='data'):
+    """Build global device arrays from process-local numpy batches.
+
+    Single-process: equivalent to device_put with a batch sharding.
+    Multi-host: each process contributes its local shard of the global
+    batch (the DistributedSampler equivalent, data.py:202).
+    """
+    out = []
+    for arr in arrays:
+        sharding = batch_sharding(mesh, np.ndim(arr), axis_name)
+        if jax.process_count() > 1:
+            out.append(jax.make_array_from_process_local_data(sharding, arr))
+        else:
+            out.append(jax.device_put(arr, sharding))
+    return out if len(out) > 1 else out[0]
+
+
+def host_local_batch_size(global_batch):
+    """Per-host batch; errors unless evenly divisible (main.py:170-171)."""
+    world = jax.process_count()
+    if global_batch % world != 0:
+        raise RuntimeError(
+            'Batch size should be a multiple of the number of hosts')
+    local = global_batch // world
+    n_local_dev = max(1, len(jax.local_devices()))
+    if local % n_local_dev != 0:
+        raise RuntimeError(
+            'Per-host batch size should be a multiple of local device count')
+    return local

@@ -1,0 +1,245 @@
+"""Training workflow: jitted DP train step, schedule, checkpoints, logging.
+
+Functional parity with odtk/train.py:18-220, redesigned for TPU:
+  * SGD(momentum 0.9) + L2 weight decay via optax, with the reference's
+    warmup+milestone LambdaLR schedule (train.py:52-57) as an optax
+    schedule — lr changes live inside the compiled graph, no recompile.
+  * Mixed precision = bf16 compute, fp32 params/loss. No loss scaling
+    needed (bf16 keeps fp32's exponent range), so the reference's
+    GradScaler/Apex machinery (train.py:37-43,91) has no equivalent.
+  * DDP gradient allreduce (implicit NCCL) -> XLA psum inserted by jit
+    over the batch-sharded ``data`` mesh axis; the explicit loss
+    all_reduce (train.py:127-131) is likewise free: the loss is already
+    a global mean under SPMD.
+  * Divergence guard, ~60 s checkpoint/log cadence, TensorBoard scalars,
+    optional metrics POST, periodic validation — same observable
+    behavior (train.py:136-214).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .data import DataIterator, RotatedDataIterator
+from .infer import infer
+from .io import checkpoint as ckpt_io
+from .parallel import make_mesh_for_batch, batch_sharding, \
+    replicated_sharding, shard_batch, world_info
+from .utils import ignore_sigint, post_metrics, Profiler
+
+
+def lr_schedule(lr, warmup, milestones, gamma):
+    """Reference LambdaLR closure (train.py:52-57) as an optax schedule."""
+    milestones = jnp.asarray(sorted(milestones), jnp.float32) \
+        if milestones else jnp.zeros((0,), jnp.float32)
+
+    def schedule(count):
+        it = count.astype(jnp.float32) if hasattr(count, 'astype') \
+            else jnp.float32(count)
+        decayed = gamma ** jnp.sum(milestones <= it) if milestones.size \
+            else 1.0
+        if warmup:
+            warm = 0.9 * it / warmup + 0.1
+            return lr * jnp.where(it <= warmup, warm, decayed)
+        return lr * decayed
+
+    return schedule
+
+
+def make_optimizer(lr, warmup, milestones, gamma, weight_decay=1e-4,
+                   momentum=0.9):
+    """SGD+momentum with decoupled-from-schedule L2 (torch-SGD order:
+    wd folds into the gradient before the momentum buffer)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum),
+        optax.scale_by_learning_rate(
+            lr_schedule(lr, warmup, milestones, gamma)))
+
+
+def make_train_step(model, tx, mesh):
+    """Jitted SPMD train step: (params, opt, frozen, images, targets) ->
+    (params, opt, cls_loss, box_loss)."""
+    rep = replicated_sharding(mesh)
+    img_shard = batch_sharding(mesh, 4)
+    tgt_shard = batch_sharding(mesh, 3)
+
+    def step(params, opt_state, frozen, images, targets):
+        def loss_fn(p):
+            cl, bl = model.loss_fn({'params': p, 'frozen': frozen},
+                                   images, targets)
+            return cl + bl, (cl, bl)
+
+        (_, (cl, bl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, cl, bl
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, img_shard, tgt_shard),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1))
+
+
+def train(model, state, path, annotations, val_path, val_annotations,
+          resize, max_size, jitter, batch_size, iterations, val_iterations,
+          lr, warmup, milestones, gamma, is_master=True, world=1,
+          mixed_precision=True, verbose=True, metrics_url=None, logdir=None,
+          rotate_augment=False, augment_brightness=0.0, augment_contrast=0.0,
+          augment_hue=0.0, augment_saturation=0.0, regularization_l2=0.0001,
+          rotated_bbox=False, absolute_angle=False, max_det=128,
+          use_dali=False):
+    'Train the model on the given dataset'
+    del use_dali  # host pipeline is always the fused loader on TPU
+
+    rank, world = world_info()
+    is_master = rank == 0
+    stride = model.stride
+
+    if mixed_precision:
+        model.set_dtype(jnp.bfloat16)
+
+    mesh = make_mesh_for_batch(batch_size // max(1, world))
+    tx = make_optimizer(lr, warmup, milestones, gamma, regularization_l2)
+    params = model.variables['params']
+    frozen = model.variables['frozen']
+    opt_state = tx.init(params)
+    if 'optimizer' in state and state['optimizer'] is not None:
+        opt_state = ckpt_io.restore_opt_state(state['optimizer'], opt_state)
+
+    train_step = make_train_step(model, tx, mesh)
+
+    if verbose:
+        print('Preparing dataset...')
+    iterator_cls = RotatedDataIterator if rotated_bbox else DataIterator
+    data_iterator = iterator_cls(
+        path, jitter, max_size, batch_size, stride, world, annotations,
+        training=True, rotate_augment=rotate_augment,
+        augment_brightness=augment_brightness,
+        augment_contrast=augment_contrast, augment_hue=augment_hue,
+        augment_saturation=augment_saturation, max_det=max_det, rank=rank,
+        absolute_angle=absolute_angle)
+    if verbose:
+        print(data_iterator)
+        print('    device: {} {}'.format(
+            len(jax.devices()), jax.devices()[0].platform.upper()))
+        print('     batch: {}, precision: {}'.format(
+            batch_size, 'mixed (bf16)' if mixed_precision else 'full (fp32)'))
+        print(' BBOX type:', 'rotated' if rotated_bbox else 'axis aligned')
+        print('Training model for {} iterations...'.format(iterations))
+
+    writer = None
+    if is_master and logdir is not None:
+        from tensorboardX import SummaryWriter
+        if verbose:
+            print('Writing TensorBoard logs to: {}'.format(logdir))
+        writer = SummaryWriter(log_dir=logdir)
+
+    def save_checkpoint(iteration):
+        model.variables = {'params': jax.device_get(params),
+                           'frozen': frozen}
+        state.update({
+            'iteration': iteration,
+            'optimizer': jax.device_get(opt_state),
+            'scheduler': {'last_iter': iteration},
+        })
+        with ignore_sigint():
+            model.save(state)
+
+    profiler = Profiler(['train', 'fw', 'bw'])
+    iteration = state.get('iteration', 0)
+    cls_losses, box_losses = [], []
+    while iteration < iterations:
+        for data, target in data_iterator:
+            if iteration >= iterations:
+                break
+            profiler.start('fw')
+            images, targets = shard_batch(mesh, data, target)
+            params, opt_state, cls_loss, box_loss = train_step(
+                params, opt_state, frozen, images, targets)
+            profiler.stop('fw')
+            profiler.start('bw')
+            cls_loss = float(cls_loss)
+            box_loss = float(box_loss)
+            profiler.stop('bw')
+
+            if is_master:
+                cls_losses.append(cls_loss)
+                box_losses.append(box_loss)
+                if not math.isfinite(cls_loss + box_loss):
+                    raise RuntimeError('Loss is diverging!\n{}'.format(
+                        'Try lowering the learning rate.'))
+
+            iteration += 1
+            profiler.bump('train')
+            if is_master and (profiler.totals['train'] > 60
+                              or iteration == iterations):
+                focal_loss = float(np.mean(cls_losses))
+                box_loss_m = float(np.mean(box_losses))
+                learning_rate = float(lr_schedule(
+                    lr, warmup, milestones, gamma)(jnp.float32(iteration)))
+                if verbose:
+                    msg = '[{:{len}}/{}]'.format(
+                        iteration, iterations, len=len(str(iterations)))
+                    msg += ' focal loss: {:.3f}'.format(focal_loss)
+                    msg += ', box loss: {:.3f}'.format(box_loss_m)
+                    msg += ', {:.3f}s/{}-batch'.format(
+                        profiler.means['train'], batch_size)
+                    msg += ' (step: {:.3f}s, sync: {:.3f}s)'.format(
+                        profiler.means['fw'], profiler.means['bw'])
+                    msg += ', {:.1f} im/s'.format(
+                        batch_size / profiler.means['train'])
+                    msg += ', lr: {:.2g}'.format(learning_rate)
+                    print(msg, flush=True)
+                if writer is not None:
+                    writer.add_scalar('focal_loss', focal_loss, iteration)
+                    writer.add_scalar('box_loss', box_loss_m, iteration)
+                    writer.add_scalar('learning_rate', learning_rate,
+                                      iteration)
+                if metrics_url:
+                    post_metrics(metrics_url, {
+                        'focal loss': focal_loss,
+                        'box loss': box_loss_m,
+                        'im_s': batch_size / profiler.means['train'],
+                        'lr': learning_rate})
+                save_checkpoint(iteration)
+                profiler.reset()
+                del cls_losses[:], box_losses[:]
+
+            if val_annotations and (iteration == iterations
+                                    or (val_iterations
+                                        and iteration % val_iterations == 0)):
+                model.variables = {'params': params, 'frozen': frozen}
+                stats = infer(model, val_path, None, resize, max_size,
+                              batch_size, annotations=val_annotations,
+                              mixed_precision=mixed_precision,
+                              is_master=is_master, world=world,
+                              is_validation=True, verbose=False,
+                              rotated_bbox=rotated_bbox)
+                if writer is not None and stats is not None:
+                    names = [
+                        'Validation_Precision/mAP',
+                        'Validation_Precision/mAP@0.50IoU',
+                        'Validation_Precision/mAP@0.75IoU',
+                        'Validation_Precision/mAP (small)',
+                        'Validation_Precision/mAP (medium)',
+                        'Validation_Precision/mAP (large)',
+                        'Validation_Recall/mAR (max 1 Dets)',
+                        'Validation_Recall/mAR (max 10 Dets)',
+                        'Validation_Recall/mAR (max 100 Dets)',
+                        'Validation_Recall/mAR (small)',
+                        'Validation_Recall/mAR (medium)',
+                        'Validation_Recall/mAR (large)']
+                    for n, s in zip(names, stats):
+                        writer.add_scalar(n, s, iteration)
+
+    model.variables = {'params': jax.device_get(params), 'frozen': frozen}
+    if writer is not None:
+        writer.close()
+    return model

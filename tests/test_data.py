@@ -1,0 +1,92 @@
+"""Data pipeline tests: dataset decode/augment, loader batching/sharding."""
+
+import numpy as np
+import pytest
+
+from odtk_tpu.data import CocoDataset, DataIterator, RotatedDataIterator
+from synth import make_dataset
+
+
+@pytest.fixture(scope='module')
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp('coco')
+    return make_dataset(str(root), n_images=6, size=(160, 200))
+
+
+def test_dataset_item_shapes(dataset_dir):
+    img_dir, ann = dataset_dir
+    ds = CocoDataset(img_dir, resize=128, max_size=256, stride=64,
+                     annotations=ann, training=True)
+    arr, target = ds[0]
+    assert arr.ndim == 3 and arr.shape[2] == 3
+    assert arr.shape[0] % 64 == 0 and arr.shape[1] % 64 == 0
+    assert target.shape[1] == 5
+    # normalized: mean roughly centered, not raw 0..255
+    assert abs(arr.mean()) < 5
+
+
+def test_dataset_resize_ratio(dataset_dir):
+    img_dir, ann = dataset_dir
+    ds = CocoDataset(img_dir, resize=128, max_size=512, stride=1,
+                     annotations=ann, training=False)
+    arr, img_id, ratio = ds[0]
+    # source is 160x200 (h,w); shorter side -> 128
+    assert min(arr.shape[:2]) == 128
+    assert abs(ratio - 128 / 160) < 1e-6
+
+
+def test_loader_batches_and_targets(dataset_dir):
+    img_dir, ann = dataset_dir
+    it = DataIterator(img_dir, resize=128, max_size=256, batch_size=2,
+                      stride=64, world=1, annotations=ann, training=True,
+                      max_det=16, num_threads=2, seed=0)
+    batches = list(it)
+    assert len(batches) == 3
+    for data, targets in batches:
+        assert data.shape[0] == 2 and data.shape[3] == 3
+        assert data.shape[1] % 64 == 0 and data.shape[2] % 64 == 0
+        assert targets.shape == (2, 16, 5)
+        valid = targets[..., 4] > -1
+        assert valid.any()
+        # class range: remapped to 0-based contiguous ids
+        assert targets[..., 4][valid].max() <= 2
+
+
+def test_loader_sharding_partitions(dataset_dir):
+    img_dir, ann = dataset_dir
+    seen = []
+    for rank in range(2):
+        it = DataIterator(img_dir, resize=128, max_size=256, batch_size=2,
+                          stride=64, world=2, annotations=ann, training=False,
+                          rank=rank, num_threads=1)
+        for data, ids, ratios in it:
+            seen.extend(ids.tolist())
+    assert sorted(set(seen)) == [0, 1, 2, 3, 4, 5]
+
+
+def test_loader_inference_mode(dataset_dir):
+    img_dir, ann = dataset_dir
+    it = DataIterator(img_dir, resize=128, max_size=256, batch_size=3,
+                      stride=64, world=1, annotations=ann, training=False,
+                      num_threads=1)
+    data, ids, ratios = next(iter(it))
+    assert data.shape[0] == 3
+    assert ids.shape == (3,) and ratios.shape == (3,)
+
+
+def test_rotated_loader_targets(dataset_dir):
+    img_dir, ann = dataset_dir
+    it = RotatedDataIterator(img_dir, resize=128, max_size=256, batch_size=2,
+                             stride=64, world=1, annotations=ann,
+                             training=True, max_det=8, num_threads=1)
+    data, targets = next(iter(it))
+    assert targets.shape[2] == 6   # x,y,w,h,theta,class
+
+
+def test_bare_image_dir_auto_annotations(dataset_dir):
+    img_dir, _ = dataset_dir
+    it = DataIterator(img_dir, resize=128, max_size=256, batch_size=2,
+                      stride=64, world=1, annotations=None, training=False,
+                      num_threads=1)
+    data, ids, ratios = next(iter(it))
+    assert data.shape[0] == 2
