@@ -1,0 +1,173 @@
+// odtk_tpu native host pipeline: JPEG decode + resize + normalize.
+//
+// The TPU-native counterpart of the reference's DALI GPU loader
+// (odtk/dali.py): on TPU the chips should spend zero cycles on JPEG
+// bit-twiddling, so decode/resize/normalize runs on the host in native
+// code. Python threads call in via ctypes (GIL released), giving real
+// decode parallelism without worker processes.
+//
+// Exported C ABI:
+//   odtk_decode_jpeg_resize_normalize(...)  -> decoded+resized+normalized
+//   odtk_resize_normalize(...)              -> raw RGB u8 -> normalized f32
+// Both write float32 HWC output with ImageNet mean/std normalization
+// (same constants as odtk/data.py:25-26).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+const float kMean[3] = {0.485f, 0.456f, 0.406f};
+const float kStd[3] = {0.229f, 0.224f, 0.225f};
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Bilinear resize RGB u8 -> RGB float (0..255 scale kept).
+void resize_bilinear(const uint8_t* src, int sh, int sw, float* dst, int dh,
+                     int dw) {
+  const float sy = static_cast<float>(sh) / dh;
+  const float sx = static_cast<float>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y1 = std::min(y0 + 1, sh - 1);
+    y0 = std::max(y0, 0);
+    const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * 3;
+    float* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x1 = std::min(x0 + 1, sw - 1);
+      x0 = std::max(x0, 0);
+      for (int c = 0; c < 3; ++c) {
+        float v00 = row0[x0 * 3 + c], v01 = row0[x1 * 3 + c];
+        float v10 = row1[x0 * 3 + c], v11 = row1[x1 * 3 + c];
+        float top = v00 + (v01 - v00) * wx;
+        float bot = v10 + (v11 - v10) * wx;
+        out[x * 3 + c] = top + (bot - top) * wy;
+      }
+    }
+  }
+}
+
+void normalize_inplace(float* data, size_t pixels) {
+  for (size_t i = 0; i < pixels; ++i) {
+    float* px = data + i * 3;
+    for (int c = 0; c < 3; ++c) {
+      px[c] = (px[c] / 255.0f - kMean[c]) / kStd[c];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode JPEG bytes, aspect-preserving resize (shorter side -> `resize`,
+// capped so the longer side <= max_size; same rule as odtk/data.py:57-60),
+// normalize, write float32 HWC into out (caller-allocated, padded
+// out_h_pad x out_w_pad x 3; regions beyond the image are zeroed).
+// Returns 0 on success. Outputs actual resized h/w and the scale ratio.
+int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
+                                      int resize, int max_size, float* out,
+                                      int out_h_pad, int out_w_pad,
+                                      int* out_h, int* out_w, float* ratio,
+                                      int normalize) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(bytes),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  // libjpeg DCT scaling: cheap pre-downscale by M/8 toward the target,
+  // the precision-relevant part of the resize stays bilinear.
+  int sw = cinfo.image_width, sh = cinfo.image_height;
+  float r = static_cast<float>(resize) / std::min(sw, sh);
+  if (r * std::max(sw, sh) > max_size) {
+    r = static_cast<float>(max_size) / std::max(sw, sh);
+  }
+  int scale = 8;
+  while (scale > 1 &&
+         (sw * (scale - 1)) / 8 >= static_cast<int>(r * sw) * 2 &&
+         (sh * (scale - 1)) / 8 >= static_cast<int>(r * sh) * 2) {
+    --scale;
+  }
+  cinfo.scale_num = scale;
+  cinfo.scale_denom = 8;
+
+  jpeg_start_decompress(&cinfo);
+  int dw = cinfo.output_width, dh = cinfo.output_height;
+  std::vector<uint8_t> rgb(static_cast<size_t>(dw) * dh * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline)
+        * dw * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  int th = static_cast<int>(r * sh), tw = static_cast<int>(r * sw);
+  th = std::max(1, std::min(th, out_h_pad));
+  tw = std::max(1, std::min(tw, out_w_pad));
+
+  std::vector<float> resized(static_cast<size_t>(th) * tw * 3);
+  resize_bilinear(rgb.data(), dh, dw, resized.data(), th, tw);
+  if (normalize) {
+    normalize_inplace(resized.data(), static_cast<size_t>(th) * tw);
+  }
+
+  std::memset(out, 0,
+              static_cast<size_t>(out_h_pad) * out_w_pad * 3 * sizeof(float));
+  for (int y = 0; y < th; ++y) {
+    std::memcpy(out + static_cast<size_t>(y) * out_w_pad * 3,
+                resized.data() + static_cast<size_t>(y) * tw * 3,
+                static_cast<size_t>(tw) * 3 * sizeof(float));
+  }
+  *out_h = th;
+  *out_w = tw;
+  *ratio = r;
+  return 0;
+}
+
+// Raw RGB u8 [h, w, 3] -> resized+normalized float32 into out
+// (out_h x out_w x 3, exact size). Used for non-JPEG sources decoded
+// by the Python fallback.
+int odtk_resize_normalize(const uint8_t* rgb, int h, int w, float* out,
+                          int out_h, int out_w, int normalize) {
+  std::vector<float> resized(static_cast<size_t>(out_h) * out_w * 3);
+  resize_bilinear(rgb, h, w, resized.data(), out_h, out_w);
+  if (normalize)
+    normalize_inplace(resized.data(), static_cast<size_t>(out_h) * out_w);
+  std::memcpy(out, resized.data(), resized.size() * sizeof(float));
+  return 0;
+}
+
+}  // extern "C"

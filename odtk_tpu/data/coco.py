@@ -130,6 +130,44 @@ class CocoDataset:
         name = self.coco.imgs[img_id]['file_name']
         return Image.open(os.path.join(self.path, name)).convert('RGB')
 
+    def _load_resized(self, img_id, resize, normalize):
+        """Decode + aspect-preserving resize -> (float32 [h,w,3], ratio).
+
+        Fast path: native libjpeg decode+bilinear (+fused normalize),
+        GIL-free (native/host_decode.cpp). Fallback: PIL decode with
+        native resize when available, else PIL bilinear.
+        """
+        from . import native
+        name = self.coco.imgs[img_id]['file_name']
+        full = os.path.join(self.path, name)
+        if name.lower().endswith(('.jpg', '.jpeg')) and native.available():
+            with open(full, 'rb') as f:
+                data = f.read()
+            with Image.open(full) as probe:
+                w0, h0 = probe.size
+            ratio = resize / min(w0, h0)
+            if ratio * max(w0, h0) > self.max_size:
+                ratio = self.max_size / max(w0, h0)
+            th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+            out = native.decode_jpeg(data, resize, self.max_size,
+                                     pad_to=(th, tw), normalize=normalize)
+            if out is not None:
+                arr, oh, ow, r = out
+                return arr, r, normalize
+        im = self._load_image(img_id)
+        w0, h0 = im.size
+        ratio = resize / min(w0, h0)
+        if ratio * max(w0, h0) > self.max_size:
+            ratio = self.max_size / max(w0, h0)
+        th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+        if native.available():
+            arr = native.resize_rgb(np.asarray(im, np.uint8), th, tw,
+                                    normalize=normalize)
+            if arr is not None:
+                return arr, ratio, normalize
+        im = im.resize((tw, th), Image.BILINEAR)
+        return np.asarray(im, np.float32), ratio, False
+
     def _get_target(self, img_id):
         boxes, categories = [], []
         for ann in self.coco.load_anns(img_id):
@@ -159,52 +197,65 @@ class CocoDataset:
 
     def __getitem__(self, index):
         img_id = self.ids[index]
-        im = self._load_image(img_id)
-
         resize = self._sample_resize()
-        ratio = resize / min(im.size)
-        if ratio * max(im.size) > self.max_size:
-            ratio = self.max_size / max(im.size)
-        im = im.resize((int(ratio * d) for d in im.size), Image.BILINEAR)
-        w, h = im.size
+        # training interleaves color jitter between decode and normalize,
+        # so the fused native normalize is only used at eval time
+        arr, ratio, normalized = self._load_resized(
+            img_id, resize, normalize=not self.training)
 
         target = None
         if self.training:
             boxes, categories = self._get_target(img_id)
             boxes = self._scale_boxes(boxes, ratio)
-            im, boxes = self._geometric_augment(im, boxes)
-            w, h = im.size
-            arr = np.asarray(im, np.float32) / 255.0
-            arr = _adjust_colors(arr, self.augment_brightness,
+            arr, boxes = self._geometric_augment(arr, boxes)
+            arr = _adjust_colors(arr / 255.0, self.augment_brightness,
                                  self.augment_contrast, self.augment_hue,
                                  self.augment_saturation)
+            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
             target = np.concatenate([boxes, categories], axis=1)
-        else:
-            arr = np.asarray(im, np.float32) / 255.0
-
-        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+        elif not normalized:
+            arr = (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
         # stride padding (data.py:122-123)
+        h, w = arr.shape[:2]
         ph = round_up(h, self.stride) - h
         pw = round_up(w, self.stride) - w
         if ph or pw:
             arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
 
         if self.training:
-            return arr, target
-        return arr, img_id, ratio
+            return arr.astype(np.float32), target
+        return arr.astype(np.float32), img_id, ratio
 
     def _scale_boxes(self, boxes, ratio):
         boxes = boxes.copy()
         boxes[:, :4] *= ratio
         return boxes
 
-    def _geometric_augment(self, im, boxes):
-        # 90-degree-step rotation (data.py:67-86)
+    @staticmethod
+    def _rot90_same_canvas(arr, k):
+        """CCW rotate by k*90deg keeping the original canvas (center
+        crop/pad) — PIL's Image.rotate(angle) without expand."""
+        h, w = arr.shape[:2]
+        rot = np.rot90(arr, k)
+        canvas = np.zeros((h, w, arr.shape[2]), arr.dtype)
+        rh, rw = rot.shape[:2]
+        # center alignment: source and destination offsets
+        dy, dx = (h - rh) // 2, (w - rw) // 2
+        sy, sx = max(0, -dy), max(0, -dx)
+        dy, dx = max(0, dy), max(0, dx)
+        ch = min(rh - sy, h - dy)
+        cw = min(rw - sx, w - dx)
+        canvas[dy:dy + ch, dx:dx + cw] = rot[sy:sy + ch, sx:sx + cw]
+        return canvas
+
+    def _geometric_augment(self, arr, boxes):
+        # 90-degree-step rotation (data.py:67-86): same-canvas like
+        # PIL rotate without expand
         angle = random.randint(0, 3) * 90
         if self.rotate_augment and angle != 0:
-            im = im.rotate(angle)  # PIL rotates CCW, same-size canvas
-            w, h = im.size
+            arr = self._rot90_same_canvas(arr, angle // 90)
+            h, w = arr.shape[:2]
             x, y, bw, bh = (boxes[:, i].copy() for i in range(4))
             if angle == 90:
                 boxes[:, 0] = y - h / 2 + w / 2
@@ -219,9 +270,9 @@ class CocoDataset:
                 boxes[:, 2], boxes[:, 3] = bh, bw
         # horizontal flip (data.py:87-90)
         if random.randint(0, 1):
-            im = im.transpose(Image.FLIP_LEFT_RIGHT)
-            boxes[:, 0] = im.size[0] - boxes[:, 0] - boxes[:, 2]
-        return im, boxes
+            arr = arr[:, ::-1]
+            boxes[:, 0] = arr.shape[1] - boxes[:, 0] - boxes[:, 2]
+        return arr, boxes
 
 
 class RotatedCocoDataset(CocoDataset):
@@ -241,11 +292,11 @@ class RotatedCocoDataset(CocoDataset):
         boxes[:, :4] *= ratio      # theta unscaled (data.py:291)
         return boxes
 
-    def _geometric_augment(self, im, boxes):
+    def _geometric_augment(self, arr, boxes):
         angle = random.randint(0, 3) * 90
         if self.rotate_augment and angle != 0:
-            ow, oh = im.size
-            im = im.rotate(angle, expand=True)
+            oh, ow = arr.shape[:2]
+            arr = np.rot90(arr, angle // 90)   # expand=True semantics
             x, y, bw, bh, t = (boxes[:, i].copy() for i in range(5))
             if angle == 90:
                 boxes[:, 0] = y
@@ -264,7 +315,7 @@ class RotatedCocoDataset(CocoDataset):
                 t = t + math.radians(angle)
                 boxes[:, 4] = np.sign(t) * np.remainder(np.abs(t), math.pi)
         if random.randint(0, 1):
-            im = im.transpose(Image.FLIP_LEFT_RIGHT)
-            boxes[:, 0] = im.size[0] - boxes[:, 0] - boxes[:, 2]
+            arr = arr[:, ::-1]
+            boxes[:, 0] = arr.shape[1] - boxes[:, 0] - boxes[:, 2]
             boxes[:, 4] = -boxes[:, 4]
-        return im, boxes
+        return arr, boxes

@@ -1,0 +1,105 @@
+"""ctypes bridge to the native host pipeline (native/host_decode.cpp).
+
+The DALI-equivalent fast path: JPEG decode + bilinear resize (+ fused
+ImageNet normalization) in C++, called from loader threads with the GIL
+released. Auto-builds with cmake+ninja on first use if the shared
+library is missing; everything degrades gracefully to the PIL path.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), '..', '..', 'native')
+
+
+def _build():
+    build_dir = os.path.join(_NATIVE_DIR, 'build')
+    try:
+        subprocess.run(['cmake', '-B', build_dir, '-G', 'Ninja', _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+        subprocess.run(['ninja', '-C', build_dir], check=True,
+                       capture_output=True, timeout=300)
+        return os.path.join(build_dir, 'libodtk_host.so')
+    except Exception:  # noqa: BLE001 — missing toolchain -> PIL fallback
+        return None
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = os.path.join(_NATIVE_DIR, 'build', 'libodtk_host.so')
+        if not os.path.isfile(so):
+            so = _build()
+        if not so or not os.path.isfile(so):
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.odtk_decode_jpeg_resize_normalize.restype = ctypes.c_int
+        lib.odtk_decode_jpeg_resize_normalize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.odtk_resize_normalize.restype = ctypes.c_int
+        lib.odtk_resize_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        _LIB = lib
+        return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def decode_jpeg(data, resize, max_size, pad_to=None, normalize=True):
+    """JPEG bytes -> (float32 [th|pad_h, tw|pad_w, 3], th, tw, ratio)
+    or None if the native path is unavailable/failed."""
+    lib = _load()
+    if lib is None:
+        return None
+    # worst-case resized dims bound the output allocation
+    pad_h, pad_w = pad_to if pad_to else (max_size, max_size)
+    out = np.empty((pad_h, pad_w, 3), np.float32)
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    ratio = ctypes.c_float()
+    rc = lib.odtk_decode_jpeg_resize_normalize(
+        data, len(data), int(resize), int(max_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pad_h, pad_w, ctypes.byref(oh), ctypes.byref(ow),
+        ctypes.byref(ratio), int(normalize))
+    if rc != 0:
+        return None
+    return out, oh.value, ow.value, float(ratio.value)
+
+
+def resize_rgb(rgb_u8, out_h, out_w, normalize=True):
+    """RGB uint8 [h, w, 3] -> float32 [out_h, out_w, 3] (native bilinear)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.float32)
+    rc = lib.odtk_resize_normalize(
+        rgb_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        rgb_u8.shape[0], rgb_u8.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_h, out_w, int(normalize))
+    if rc != 0:
+        return None
+    return out

@@ -143,7 +143,10 @@ class Model:
         so existing variables remain valid."""
         if dtype != self.dtype:
             self.dtype = dtype
-            self.module = self.module.replace(dtype=dtype)
+            self.module = RetinaNet(
+                backbone_names=tuple(self.backbones), classes=self.classes,
+                num_anchors=self.num_anchors, box_size=self.box_size,
+                rotated=self.rotated_bbox, dtype=dtype)
         return self
 
     # ------------------------------------------------------------- anchors

@@ -66,13 +66,31 @@ def _nms_single(scores, boxes, classes, nms_thresh, ndetections, iou_fn, nb):
     return out_s, out_b, out_c
 
 
-def nms(all_scores, all_boxes, all_classes, nms_thresh=0.5, ndetections=100):
+def _tpu_backend():
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except RuntimeError:
+        return False
+
+
+def nms(all_scores, all_boxes, all_classes, nms_thresh=0.5, ndetections=100,
+        use_pallas=None):
     """Batched axis-aligned NMS.
 
     all_scores [B, N], all_boxes [B, N, 4], all_classes [B, N] ->
     (scores [B, D], boxes [B, D, 4], classes [B, D]), score-descending,
     zero-padded (csrc/cuda/nms.cu:82-160 contract).
+
+    Dispatches to the Pallas VMEM-resident kernel on TPU (the fast path,
+    like box.py:315-317 dispatching to CUDA); the jnp formulation below
+    is the portable reference twin.
     """
+    if use_pallas is None:
+        use_pallas = _tpu_backend() and ndetections <= 128
+    if use_pallas:
+        from .pallas import nms_pallas
+        return nms_pallas(all_scores, all_boxes, all_classes, nms_thresh,
+                          ndetections)
     fn = lambda s, b, c: _nms_single(
         s.astype(jnp.float32), b.astype(jnp.float32), c.astype(jnp.float32),
         nms_thresh, ndetections, _axis_iou_one_vs_all, 4)

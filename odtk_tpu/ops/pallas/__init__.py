@@ -1,0 +1,13 @@
+"""Hand-written Pallas TPU kernels for the hot detection ops.
+
+Each kernel has a jnp reference twin in odtk_tpu.ops validated
+box-for-box in tests (mirroring the reference's CPU-vs-CUDA dual
+implementations, odtk/box.py vs csrc/cuda/*).
+
+Availability is platform-gated: on non-TPU backends the jnp reference
+is used automatically.
+"""
+
+from .nms_kernel import nms_pallas
+
+__all__ = ['nms_pallas']

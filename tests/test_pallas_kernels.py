@@ -1,0 +1,71 @@
+"""Pallas kernel parity tests (interpreter mode on CPU).
+
+Mirrors the reference's dual-implementation testing seam (SURVEY.md §4):
+each Pallas kernel must match its jnp reference twin box-for-box.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import jax.experimental.pallas as pl
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    """Force pallas_call into interpreter mode (no TPU in CI)."""
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig(*args, **kwargs)
+
+    import odtk_tpu.ops.pallas.nms_kernel as nk
+    monkeypatch.setattr(nk.pl, 'pallas_call', patched)
+    yield
+
+
+def _random_case(b, n, classes=10, seed=0):
+    rng = np.random.RandomState(seed)
+    scores = np.where(rng.rand(b, n) > 0.7, rng.rand(b, n), 0).astype(
+        np.float32)
+    xy = rng.uniform(0, 700, (b, n, 2))
+    wh = rng.uniform(5, 120, (b, n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    cls = rng.randint(0, classes, (b, n)).astype(np.float32)
+    return scores, boxes, cls
+
+
+def test_pallas_nms_matches_reference(interpret_pallas):
+    from odtk_tpu.ops import nms
+    from odtk_tpu.ops.pallas import nms_pallas
+    scores, boxes, cls = _random_case(2, 500)
+    ref = jax.tree.map(np.asarray, nms(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls),
+        0.5, 50, use_pallas=False))
+    got = jax.tree.map(np.asarray, nms_pallas(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls), 0.5, 50))
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-4)
+    np.testing.assert_allclose(got[2], ref[2], atol=1e-6)
+
+
+def test_pallas_nms_empty(interpret_pallas):
+    from odtk_tpu.ops.pallas import nms_pallas
+    s, b, c = (jnp.zeros((1, 256)), jnp.zeros((1, 256, 4)),
+               jnp.zeros((1, 256)))
+    out = jax.tree.map(np.asarray, nms_pallas(s, b, c, 0.5, 20))
+    assert all((o == 0).all() for o in out)
+
+
+def test_pallas_nms_nonaligned_n(interpret_pallas):
+    """N not a multiple of 128 must pad correctly."""
+    from odtk_tpu.ops import nms
+    from odtk_tpu.ops.pallas import nms_pallas
+    scores, boxes, cls = _random_case(1, 333, seed=3)
+    ref = jax.tree.map(np.asarray, nms(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls),
+        0.5, 30, use_pallas=False))
+    got = jax.tree.map(np.asarray, nms_pallas(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls), 0.5, 30))
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
