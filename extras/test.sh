@@ -1,0 +1,69 @@
+#!/bin/bash
+# Smoke-test harness for odtk-tpu — the extras/test.sh equivalent
+# (reference: extras/test.sh:10-17): six end-to-end CLI invocations
+# against a COCO-style dataset.
+#
+# Usage: extras/test.sh <images_dir> <annotations.json> [workdir]
+# With no arguments, generates a tiny synthetic COCO set first.
+
+set -e
+
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+WORK="${3:-$(mktemp -d)}"
+IMAGES="$1"
+ANNOTATIONS="$2"
+
+if [ -z "$IMAGES" ]; then
+    echo "No dataset given - generating synthetic COCO set in $WORK"
+    python - "$WORK" <<EOF
+import sys
+sys.path.insert(0, '$ROOT/tests')
+from synth import make_dataset
+img, ann = make_dataset(sys.argv[1], n_images=8, size=(120, 160))
+print(img); print(ann)
+EOF
+    IMAGES="$WORK/images"
+    ANNOTATIONS="$WORK/annotations.json"
+    CLASSES=3
+    EXTRA="--resize 64 --max-size 128 --jitter 64 64 --warmup 0 --lr 0.001"
+    SIZE=128
+else
+    CLASSES=80
+    EXTRA="--resize 512 --max-size 768 --jitter 512 512"
+    SIZE=640
+fi
+
+start=$(date +%s)
+run() {
+    echo "==> odtk-tpu $*"
+    python -m odtk_tpu.main "$@"
+}
+
+# 1. train with two backbones at once
+run train "$WORK/twobb.ckpt" --backbone ResNet18FPN MobileNetV2FPN \
+    --classes $CLASSES --images "$IMAGES" --annotations "$ANNOTATIONS" \
+    --batch 2 --iters 2 --milestones $EXTRA --full-precision --override
+# 2. train default-ish backbone
+run train "$WORK/model.ckpt" --backbone ResNet18FPN --classes $CLASSES \
+    --images "$IMAGES" --annotations "$ANNOTATIONS" \
+    --batch 2 --iters 2 --milestones $EXTRA --full-precision --override
+# 3. fine-tune from the produced checkpoint
+run train "$WORK/finetune.ckpt" --backbone ResNet18FPN --classes $CLASSES \
+    --fine-tune "$WORK/model.ckpt" --images "$IMAGES" \
+    --annotations "$ANNOTATIONS" --batch 2 --iters 2 --milestones $EXTRA \
+    --full-precision --override
+# 4. infer with the checkpoint
+run infer "$WORK/model.ckpt" --images "$IMAGES" \
+    --annotations "$ANNOTATIONS" --batch 2 \
+    --output "$WORK/detections.json" --full-precision \
+    $(echo "$EXTRA" | grep -o -- '--resize [0-9]*') \
+    $(echo "$EXTRA" | grep -o -- '--max-size [0-9]*')
+# 5. export an AOT engine
+run export "$WORK/model.ckpt" "$WORK/model.engine" --size $SIZE \
+    --full-precision --dynamic-batch-opts 1 2 2
+# 6. infer with the engine
+run infer "$WORK/model.engine" --images "$IMAGES" \
+    --annotations "$ANNOTATIONS" --batch 2 \
+    --output "$WORK/detections_engine.json" --full-precision
+
+echo "ALL SMOKE TESTS PASSED in $(( $(date +%s) - start ))s (workdir $WORK)"

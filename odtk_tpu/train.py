@@ -17,6 +17,7 @@ Functional parity with odtk/train.py:18-220, redesigned for TPU:
 """
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -169,6 +170,9 @@ def train(model, state, path, annotations, val_path, val_annotations,
             box_loss = float(box_loss)
             profiler.stop('bw')
 
+            if os.environ.get('ODTK_DEBUG'):
+                print(f'  debug it{iteration}: cl={cls_loss:.4f} '
+                      f'bl={box_loss:.4f} shape={data.shape}', flush=True)
             if is_master:
                 cls_losses.append(cls_loss)
                 box_losses.append(box_loss)
