@@ -152,6 +152,63 @@ def calibrate(model, size, calibration_files, calibration_table=None,
     return table
 
 
+def export_cpp_engine(model, size, batch=1, path='model.cppengine',
+                      precision='bf16', platform='tpu', verbose=False):
+    """Write a self-contained C++ engine (extras/cppapi consumable).
+
+    Unlike the Python Engine package, weights are baked into the
+    StableHLO module as constants, so the C++ runtime feeds a single
+    image tensor — the same self-containment property as a serialized
+    TRT plan (csrc/engine.cpp:190-199). Format documented in
+    extras/cppapi/odtk_pjrt.h.
+    """
+    from jax import export as jexport
+    from jax._src.lib import xla_client
+
+    if isinstance(size, int):
+        size = (size, size)
+    if precision in ('bf16', 'FP16'):
+        model.set_dtype(jnp.bfloat16)
+
+    const_vars = jax.tree.map(jnp.asarray, model.variables)
+
+    def fn(images):
+        scores, boxes, classes = model.inference_fn(const_vars, images)
+        # rank-2 outputs transfer dense row-major through every PJRT
+        # plugin; rank-3 may come back in device-tiled layout
+        return scores, boxes.reshape(boxes.shape[0], -1), classes
+
+    spec = jax.ShapeDtypeStruct((batch, size[0], size[1], 3), jnp.float32)
+    if verbose:
+        print(f'Lowering (platform={platform}, batch={batch}, '
+              f'size={size})...')
+    exported = jexport.export(jax.jit(fn), platforms=[platform])(spec)
+    prog = exported.mlir_module_serialized
+    copts = xla_client.CompileOptions().SerializeAsString()
+
+    meta = json.dumps({
+        'height': size[0], 'width': size[1], 'batch': batch,
+        'detections': model.detections,
+        'box_dim': 6 if model.rotated_bbox else 4,
+        'stride': model.stride, 'classes': model.classes,
+        'backbones': '+'.join(model.backbones), 'precision': precision,
+    }).encode()
+
+    import struct
+    with open(path + '.tmp', 'wb') as f:
+        f.write(b'ODTKCPP1')
+        f.write(struct.pack('<I', len(meta)))
+        f.write(meta)
+        f.write(struct.pack('<Q', len(prog)))
+        f.write(prog)
+        f.write(struct.pack('<Q', len(copts)))
+        f.write(copts)
+    os.replace(path + '.tmp', path)
+    if verbose:
+        print(f'Wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB)')
+    return path
+
+
 class Engine:
     """AOT inference engine: the odtk::Engine equivalent.
 
