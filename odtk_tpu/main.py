@@ -110,6 +110,9 @@ def parse(args):
                               help='regress absolute angle (rather than -45 to 45 degrees.')
     parser_train.add_argument('--max-det', metavar='num', type=int, default=128,
                               help='static per-image target capacity (TPU shapes)')
+    parser_train.add_argument('--profile-dir', metavar='path', type=str,
+                              help='capture a jax.profiler device trace of '
+                                   'steady-state iterations to this directory')
 
     parser_infer = subparsers.add_parser('infer', help='run inference')
     parser_infer.add_argument('model', type=str, help='path to model')
@@ -234,7 +237,8 @@ def run(args, model, state):
             augment_saturation=args.augment_saturation,
             regularization_l2=args.regularization_l2,
             rotated_bbox=args.rotated_bbox,
-            absolute_angle=args.absolute_angle, max_det=args.max_det)
+            absolute_angle=args.absolute_angle, max_det=args.max_det,
+            profile_dir=args.profile_dir)
 
     elif args.command == 'infer':
         if model is None:

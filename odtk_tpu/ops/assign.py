@@ -102,18 +102,18 @@ def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
                      anchor_ious, height, width, num_anchors)
 
 
-def snap_to_anchors_rotated(targets, size, stride, anchor_tables,
+def snap_to_anchors_rotated(targets, size, stride, anchor_table,
                             num_classes, anchor_ious=(0.4, 0.5)):
     """Rotated assignment: targets [max_det, 6] = (x, y, w, h, theta, cls).
 
-    anchor_tables: (axis [A,4], corners [A,8]) from
+    anchor_table: (axis [A,4], corners [A,8]) pair from
     generate_anchors_rotated. Overlap uses polygon IoU between rotated
     anchor corners and rotated target corners (odtk/box.py:192-252);
     regression targets are 6-channel (dx, dy, dlogw, dlogh, sin, cos)
     vs the *axis-aligned* anchor (odtk/box.py:227).
     Returns (cls [H,W,A,K], box_deltas [H,W,A,6], depth [H,W,A]).
     """
-    table_axis, table_rot = anchor_tables
+    table_axis, table_rot = anchor_table
     table_axis = jnp.asarray(table_axis, targets.dtype)
     table_rot = jnp.asarray(table_rot, targets.dtype)
     width = int(size[0]) // int(stride)

@@ -22,6 +22,19 @@ import jax.numpy as jnp
 _SLOTS = 8  # max vertices of quad-quad intersection
 
 
+def _next_onehot(count):
+    """[S, S] matrix M with M[j, (j+1) mod count] = 1 (0 past count).
+
+    Ring-successor as a dense one-hot so that successor values come
+    from a tiny matmul instead of a dynamic gather — gathers/scatters
+    inside nested vmap lower to scalar loops on TPU and blow up both
+    compile and run time.
+    """
+    idx = jnp.arange(_SLOTS)
+    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+    return (nxt[:, None] == idx[None, :]).astype(jnp.float32)
+
+
 def _clip_once(pts, count, v1, v2):
     """Clip polygon (pts, count) against the directed line v1->v2."""
     a = v2[1] - v1[1]
@@ -31,9 +44,9 @@ def _clip_once(pts, count, v1, v2):
     idx = jnp.arange(_SLOTS)
     valid = idx < count
     lv = a * pts[:, 0] + b * pts[:, 1] + c
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    pts_n = pts[nxt]
-    lv_n = lv[nxt]
+    ring = _next_onehot(count)                     # [S, S]
+    pts_n = ring @ pts                             # successor points
+    lv_n = ring @ lv
 
     emit_vertex = valid & (lv <= 0)
     emit_inter = valid & (lv * lv_n <= 0)
@@ -45,19 +58,25 @@ def _clip_once(pts, count, v1, v2):
     w = a * b2 - b * a2
     ipt = jnp.stack([(b * c2 - c * b2) / w, (c * a2 - a * c2) / w], axis=-1)
 
-    # Interleave (vertex_j, inter_j) candidates and compact via cumsum
+    # Interleave (vertex_j, inter_j) candidates; compact via cumsum
+    # positions expressed as a one-hot scatter matrix (matmul, not .at[]).
+    # Unkept candidates are zeroed so a NaN from a parallel-line ipt we
+    # never emit cannot leak through the 0*NaN matmul; a NaN in a *kept*
+    # candidate still propagates (reference NaN convention,
+    # nms_iou.cu:242-248).
     cand = jnp.stack([pts, ipt], axis=1).reshape(2 * _SLOTS, 2)
     keep = jnp.stack([emit_vertex, emit_inter], axis=1).reshape(2 * _SLOTS)
-    pos = jnp.where(keep, jnp.cumsum(keep) - 1, 2 * _SLOTS)
-    new_pts = jnp.zeros_like(pts).at[pos].set(cand, mode='drop')
+    cand = jnp.where(keep[:, None], cand, 0.0)
+    pos = jnp.where(keep, jnp.cumsum(keep) - 1, -1)
+    scatter = (jnp.arange(_SLOTS)[:, None] == pos[None, :]).astype(cand.dtype)
+    new_pts = scatter @ cand                       # [S, 2]
     new_count = jnp.sum(keep).astype(jnp.int32)
     return new_pts, new_count
 
 
 def _shoelace(pts, count):
     idx = jnp.arange(pts.shape[0])
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    pts_n = pts[nxt]
+    pts_n = _next_onehot(count) @ pts
     cross = pts[:, 0] * pts_n[:, 1] - pts[:, 1] * pts_n[:, 0]
     area = jnp.where(idx < count, cross, 0.0).sum()
     return jnp.where(count > 2, jnp.abs(area) / 2.0, 0.0)

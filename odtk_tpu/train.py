@@ -95,7 +95,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
           rotate_augment=False, augment_brightness=0.0, augment_contrast=0.0,
           augment_hue=0.0, augment_saturation=0.0, regularization_l2=0.0001,
           rotated_bbox=False, absolute_angle=False, max_det=128,
-          use_dali=False):
+          use_dali=False, profile_dir=None):
     'Train the model on the given dataset'
     del use_dali  # host pipeline is always the fused loader on TPU
 
@@ -155,11 +155,16 @@ def train(model, state, path, annotations, val_path, val_annotations,
 
     profiler = Profiler(['train', 'fw', 'bw'])
     iteration = state.get('iteration', 0)
+    # Device tracing (the torch.profiler/NVTX counterpart): capture a
+    # jax.profiler trace of steady-state iterations 10..20.
+    profile_start = iteration + 10 if profile_dir else None
     cls_losses, box_losses = [], []
     while iteration < iterations:
         for data, target in data_iterator:
             if iteration >= iterations:
                 break
+            if profile_start is not None and iteration == profile_start:
+                jax.profiler.start_trace(profile_dir)
             profiler.start('fw')
             images, targets = shard_batch(mesh, data, target)
             params, opt_state, cls_loss, box_loss = train_step(
@@ -181,6 +186,9 @@ def train(model, state, path, annotations, val_path, val_annotations,
                         'Try lowering the learning rate.'))
 
             iteration += 1
+            if profile_start is not None and iteration == profile_start + 10:
+                jax.profiler.stop_trace()
+                profile_start = None
             profiler.bump('train')
             if is_master and (profiler.totals['train'] > 60
                               or iteration == iterations):
