@@ -72,6 +72,11 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
         model.set_dtype(jnp.bfloat16)
         scale_table = calibrate(model, size, calibration_files,
                                 calibration_table, verbose=verbose)
+        from .quantize import quantize_model
+        qstats = quantize_model(model)
+        if verbose:
+            print('int8 weight quantization: {} tensors, {:.2f}x'.format(
+                qstats['quantized_tensors'], qstats['ratio']))
 
     batches = sorted(set(dynamic_batch_opts or [batch]))
 

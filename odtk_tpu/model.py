@@ -248,10 +248,10 @@ class Model:
             table = self.anchors(stride)
             anchor_table = table[0] if self.rotated_bbox else table
             decoded.append(decode(
-                jax.nn.sigmoid(cls_head.astype(jnp.float32)),
-                box_head.astype(jnp.float32), stride,
+                cls_head, box_head.astype(jnp.float32), stride,
                 threshold=self.threshold, top_n=self.top_n,
-                anchors=anchor_table, rotated=self.rotated_bbox))
+                anchors=anchor_table, rotated=self.rotated_bbox,
+                from_logits=True))
         scores = jnp.concatenate([d[0] for d in decoded], axis=1)
         boxes = jnp.concatenate([d[1] for d in decoded], axis=1)
         classes = jnp.concatenate([d[2] for d in decoded], axis=1)

@@ -17,10 +17,15 @@ import jax.numpy as jnp
 
 
 def decode(cls_head, box_head, stride, threshold=0.05, top_n=1000,
-           anchors=None, rotated=False, exact=False, recall_target=0.95):
+           anchors=None, rotated=False, exact=False, recall_target=0.95,
+           from_logits=False):
     """Decode one level's heads into (scores, boxes, classes).
 
-    cls_head: [B, H, W, A*K] sigmoid probabilities.
+    cls_head: [B, H, W, A*K] sigmoid probabilities — or raw logits with
+    ``from_logits=True``, the fast path: top-k is monotonic in logits,
+    so selection runs on the bf16 logit map (half the HBM traffic, no
+    full-map fp32 sigmoid) and only the selected top_n scores are
+    sigmoided, in fp32. Bit-identical outputs.
     box_head: [B, H, W, A*nb] regression deltas (nb = 4, or 6 rotated).
     anchors:  [A, 4] table (axis-aligned; for rotated pass the axis
               member of the pair, cf. odtk/box.py:258-259).
@@ -39,13 +44,19 @@ def decode(cls_head, box_head, stride, threshold=0.05, top_n=1000,
     a = box_head.shape[-1] // nb
     k = chans // a
 
-    scores_flat = cls_head.reshape(b, -1).astype(jnp.float32)  # (h,w,a,k) order
+    scores_flat = cls_head.reshape(b, -1)                      # (h,w,a,k) order
+    if not from_logits:
+        scores_flat = scores_flat.astype(jnp.float32)
     top_n = min(top_n, scores_flat.shape[1])
     if exact or top_n >= scores_flat.shape[1]:
         scores, idx = jax.lax.top_k(scores_flat, top_n)        # [B, top_n]
     else:
         scores, idx = jax.lax.approx_max_k(
             scores_flat, top_n, recall_target=recall_target)
+    if from_logits:
+        scores = jax.nn.sigmoid(scores.astype(jnp.float32))
+    else:
+        scores = scores.astype(jnp.float32)
 
     kk = idx % k
     aa = (idx // k) % a
