@@ -56,27 +56,37 @@ def _one_hot(idx, num_classes):
 
 
 def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
-              height, width, num_anchors):
+              height, width, num_anchors, one_hot_cls):
     lo, hi = anchor_ious
     depth = jnp.full_like(best_iou, -1.0)
     depth = jnp.where(best_iou < lo, 0.0, depth)
     depth = jnp.where(best_iou >= hi, best_cls + 1.0, depth)
 
-    fg = (best_iou >= hi).astype(jnp.float32)
-    cls_target = _one_hot(best_cls, num_classes) * fg[:, None]
+    if one_hot_cls:
+        fg = (best_iou >= hi).astype(jnp.float32)
+        cls_target = _one_hot(best_cls, num_classes) * fg[:, None]
+        cls_target = cls_target.reshape(height, width, num_anchors,
+                                        num_classes)
+    else:
+        # index form: the dense one-hot [*, K] never materializes — the
+        # fused focal loss in Model.loss_fn gathers the fg-class logit
+        # instead (big bandwidth win at K=80 with ~100k anchors)
+        cls_target = jnp.clip(best_cls, 0, num_classes - 1).astype(
+            jnp.int32).reshape(height, width, num_anchors)
 
     nb = deltas.shape[-1]
-    return (cls_target.reshape(height, width, num_anchors, num_classes),
+    return (cls_target,
             deltas.reshape(height, width, num_anchors, nb),
             depth.reshape(height, width, num_anchors))
 
 
 def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
-                    anchor_ious=(0.4, 0.5)):
+                    anchor_ious=(0.4, 0.5), one_hot_cls=True):
     """Assign padded targets [max_det, 5] to anchors of one FPN level.
 
     size: (width, height) of the level in pixels (cells * stride).
-    Returns (cls [H,W,A,K], box_deltas [H,W,A,4], depth [H,W,A]).
+    Returns (cls [H,W,A,K] one-hot — or [H,W,A] int32 class indices
+    with one_hot_cls=False — box_deltas [H,W,A,4], depth [H,W,A]).
     """
     width = int(size[0]) // int(stride)
     height = int(size[1]) // int(stride)
@@ -99,11 +109,12 @@ def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
     best_iou = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
     deltas = box2delta(boxes[best], anchors)
     return _finalize(best_iou, classes[best], deltas, num_classes,
-                     anchor_ious, height, width, num_anchors)
+                     anchor_ious, height, width, num_anchors, one_hot_cls)
 
 
 def snap_to_anchors_rotated(targets, size, stride, anchor_table,
-                            num_classes, anchor_ious=(0.4, 0.5)):
+                            num_classes, anchor_ious=(0.4, 0.5),
+                            one_hot_cls=True):
     """Rotated assignment: targets [max_det, 6] = (x, y, w, h, theta, cls).
 
     anchor_table: (axis [A,4], corners [A,8]) pair from
@@ -139,4 +150,4 @@ def snap_to_anchors_rotated(targets, size, stride, anchor_table,
     best_iou = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
     deltas = box2delta_rotated(boxes_axis[best], anchors_axis)
     return _finalize(best_iou, classes[best], deltas, num_classes,
-                     anchor_ious, height, width, num_anchors)
+                     anchor_ious, height, width, num_anchors, one_hot_cls)
