@@ -29,7 +29,7 @@ Loss-equivalent, simpler.
 import jax.numpy as jnp
 
 from .boxes import box2delta, box2delta_rotated, rotate_boxes
-from .iou_rotated import rotated_pair_iou
+from .iou_rotated import rotated_best_match
 
 
 def _cell_xy(width, height, stride, dtype):
@@ -144,10 +144,7 @@ def snap_to_anchors_rotated(targets, size, stride, anchor_table,
     cell4 = jnp.concatenate([cell] * 4, axis=-1)                   # [H,W,8]
     anchors_rot = (cell4[:, :, None, :] + table_rot).reshape(-1, 8)
 
-    overlap = rotated_pair_iou(anchors_rot, boxes_rot)             # [N, M]
-    overlap = jnp.where(valid[None, :], overlap, -1.0)
-    best = jnp.argmax(overlap, axis=1)
-    best_iou = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
+    best_iou, best = rotated_best_match(anchors_rot, boxes_rot, valid)
     deltas = box2delta_rotated(boxes_axis[best], anchors_axis)
     return _finalize(best_iou, classes[best], deltas, num_classes,
                      anchor_ious, height, width, num_anchors, one_hot_cls)

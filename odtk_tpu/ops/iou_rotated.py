@@ -118,10 +118,141 @@ def rotated_pair_iou(subject_quads, clip_quads):
 
     Matches the training-time assignment kernel's orientation
     (nms_iou.cu:324-375: rows are anchors/subjects, cols are boxes).
+    Materializes the full matrix — fine for NMS-sized inputs; use
+    rotated_best_match for assignment-scale N (bounded memory).
     """
     s = subject_quads.reshape(-1, 4, 2)
     c = clip_quads.reshape(-1, 4, 2)
     return jax.vmap(lambda sq: jax.vmap(lambda cq: _pair_iou(sq, cq))(c))(s)
+
+
+def _soa_clip_iou(sx, sy, sx_raw, sy_raw, cx, cy):
+    """Plane-parallel quad-vs-quad IoU: subjects as 8 slot planes.
+
+    sx, sy: lists of 8 arrays [N] (slots 0-3 = subject corners with the
+    coincidence pad applied; 4-7 unused at entry). sx_raw/sy_raw: the
+    4 unpadded corners (area term, nms_iou.cu:231-240). cx, cy:
+    clip-quad corner scalars [4].
+    All operations are [N]-wide elementwise with the slot dimension
+    statically unrolled — the TPU-friendly ("struct of planes") form of
+    IntersectionArea (nms_iou.cu:114-169). Key trick: the ring
+    successor of slot j is statically either slot j+1 or slot 0
+    (``j + 1 < count`` decides), so successor values are one select,
+    not a gather. Compaction positions come from a running unrolled
+    cumsum; each output slot gathers its candidate by position-equality
+    selects. Runs unchanged inside jnp (vmap-free) or a Pallas kernel.
+    """
+    n_like = sx[0]
+    count = jnp.full_like(n_like, 4.0)
+
+    subj_area2 = jnp.zeros_like(n_like)   # 2x signed area of subject
+    for j in range(4):
+        k = (j + 1) % 4
+        subj_area2 += sx_raw[j] * sy_raw[k] - sy_raw[j] * sx_raw[k]
+
+    for e in range(4):
+        v1x, v1y = cx[e], cy[e]
+        v2x, v2y = cx[(e + 1) % 4], cy[(e + 1) % 4]
+        a = v2y - v1y
+        b = v1x - v2x
+        c = v2x * v1y - v2y * v1x
+
+        lv = [a * sx[j] + b * sy[j] + c for j in range(_SLOTS)]
+        # successor slot values: j+1 if j+1 < count else 0
+        succ = [(jnp.where(j + 1 < count, sx[(j + 1) % _SLOTS], sx[0]),
+                 jnp.where(j + 1 < count, sy[(j + 1) % _SLOTS], sy[0]),
+                 jnp.where(j + 1 < count, lv[(j + 1) % _SLOTS], lv[0]))
+                for j in range(_SLOTS)]
+
+        cand_x, cand_y, keep = [], [], []
+        for j in range(_SLOTS):
+            in_poly = j < count
+            keep.append(in_poly & (lv[j] <= 0))
+            cand_x.append(sx[j])
+            cand_y.append(sy[j])
+            nx, ny, nlv = succ[j]
+            keep.append(in_poly & (lv[j] * nlv <= 0))
+            a2 = ny - sy[j]
+            b2 = sx[j] - nx
+            c2 = nx * sy[j] - ny * sx[j]
+            w = a * b2 - b * a2
+            cand_x.append((b * c2 - c * b2) / w)
+            cand_y.append((c * a2 - a * c2) / w)
+
+        # positions via running cumsum; zero unkept candidates so a
+        # parallel-line NaN we never emit can't leak (kept NaN still
+        # propagates — reference convention nms_iou.cu:242-248)
+        pos, run = [], jnp.zeros_like(n_like)
+        for kf in keep:
+            kfv = kf.astype(n_like.dtype)
+            pos.append(jnp.where(kf, run, -1.0))
+            run = run + kfv
+        new_sx = [jnp.zeros_like(n_like) for _ in range(_SLOTS)]
+        new_sy = [jnp.zeros_like(n_like) for _ in range(_SLOTS)]
+        for ci in range(2 * _SLOTS):
+            safe_x = jnp.where(keep[ci], cand_x[ci], 0.0)
+            safe_y = jnp.where(keep[ci], cand_y[ci], 0.0)
+            for o in range(min(_SLOTS, ci + 1)):
+                sel = pos[ci] == o
+                new_sx[o] = jnp.where(sel, safe_x, new_sx[o])
+                new_sy[o] = jnp.where(sel, safe_y, new_sy[o])
+        sx, sy, count = new_sx, new_sy, run
+
+    inter2 = jnp.zeros_like(n_like)
+    for j in range(_SLOTS):
+        nx = jnp.where(j + 1 < count, sx[(j + 1) % _SLOTS], sx[0])
+        ny = jnp.where(j + 1 < count, sy[(j + 1) % _SLOTS], sy[0])
+        inter2 += jnp.where(j < count, sx[j] * ny - sy[j] * nx, 0.0)
+    inter = jnp.where(count > 2, jnp.abs(inter2) / 2.0, 0.0)
+
+    clip_area2 = 0.0
+    for j in range(4):
+        k = (j + 1) % 4
+        clip_area2 = clip_area2 + cx[j] * cy[k] - cy[j] * cx[k]
+    union = jnp.abs(subj_area2) / 2.0 + jnp.abs(clip_area2) / 2.0
+    iou = inter / (union - inter)
+    both_nan = jnp.isnan(inter) & jnp.isnan(union)
+    return jnp.where(both_nan, 1.0, jnp.where(jnp.isnan(inter), 0.0, iou))
+
+
+def rotated_best_match(subject_quads, clip_quads, valid):
+    """(best_iou [N], best_idx [N]) of each subject vs M clip quads.
+
+    Equivalent to argmax over rotated_pair_iou with invalid columns
+    forced to -1, but runs as a fori_loop over the M boxes with
+    plane-parallel clipping, so the workspace stays O(N) — the full
+    [N, M, 16, 2] buffers at ~300k anchors x 32+ targets would blow
+    HBM (the CUDA kernel streams the same way, nms_iou.cu:324-339).
+    """
+    subj = subject_quads.reshape(-1, 8).astype(jnp.float32)
+    n = subj.shape[0]
+    clips = clip_quads.reshape(-1, 8).astype(jnp.float32)
+    m = clips.shape[0]
+
+    def step(i, carry):
+        best_iou, best_idx = carry
+        cx = [clips[i, 2 * k] for k in range(4)]
+        cy = [clips[i, 2 * k + 1] for k in range(4)]
+        # 0.001 pad on coincident coordinates (nms_iou.cu:209-219)
+        sx = [jnp.where(subj[:, 2 * k] == cx[k], subj[:, 2 * k] + 0.001,
+                        subj[:, 2 * k]) for k in range(4)]
+        sy = [jnp.where(subj[:, 2 * k + 1] == cy[k],
+                        subj[:, 2 * k + 1] + 0.001, subj[:, 2 * k + 1])
+              for k in range(4)]
+        # subject area must use unpadded corners (nms_iou.cu:231-240
+        # computes irect from the raw corners) — recompute pad-free
+        sx_raw = [subj[:, 2 * k] for k in range(4)]
+        sy_raw = [subj[:, 2 * k + 1] for k in range(4)]
+        sx_all = sx + [jnp.zeros((n,), jnp.float32)] * 4
+        sy_all = sy + [jnp.zeros((n,), jnp.float32)] * 4
+        iou = _soa_clip_iou(sx_all, sy_all, sx_raw, sy_raw, cx, cy)
+        iou = jnp.where(valid[i], iou, -1.0)
+        upd = iou > best_iou
+        return (jnp.where(upd, iou, best_iou),
+                jnp.where(upd, i, best_idx))
+
+    init = (jnp.full((n,), -2.0, jnp.float32), jnp.zeros((n,), jnp.int32))
+    return jax.lax.fori_loop(0, m, step, init)
 
 
 def sincos_box_corners(boxes):

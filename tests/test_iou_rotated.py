@@ -1,5 +1,6 @@
 """Rotated polygon IoU vs an independent shapely-free numpy clipper."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,3 +101,30 @@ def test_sincos_corner_construction():
     box = jnp.asarray([[2.0, 3.0, 10.0, 7.0, 0.0, 1.0]])
     got = np.asarray(sincos_box_corners(box))[0]
     np.testing.assert_allclose(got, [2, 3, 10, 3, 10, 7, 2, 7], atol=1e-5)
+
+
+def test_best_match_agrees_with_pair_matrix():
+    from odtk_tpu.ops.iou_rotated import rotated_best_match
+    rng = np.random.RandomState(4)
+    subs = np.stack([rot_quad(rng.uniform(0, 40), rng.uniform(0, 40),
+                              rng.uniform(5, 20), rng.uniform(5, 20),
+                              rng.uniform(-1.4, 1.4)).reshape(8)
+                     for _ in range(60)]).astype(np.float32)
+    clips = np.stack([rot_quad(rng.uniform(0, 40), rng.uniform(0, 40),
+                               rng.uniform(5, 20), rng.uniform(5, 20),
+                               rng.uniform(-1.4, 1.4)).reshape(8)
+                      for _ in range(7)]).astype(np.float32)
+    valid = np.array([1, 1, 1, 0, 1, 1, 0], bool)
+    mat = np.asarray(rotated_pair_iou(jnp.asarray(subs), jnp.asarray(clips)))
+    mat = np.where(valid[None, :], mat, -1.0)
+    want_iou = mat.max(1)
+    want_idx = mat.argmax(1)
+    got_iou, got_idx = jax.tree.map(np.asarray, rotated_best_match(
+        jnp.asarray(subs), jnp.asarray(clips), jnp.asarray(valid)))
+    np.testing.assert_allclose(got_iou, want_iou, atol=5e-3)
+    # indices may differ only where IoUs tie within tolerance
+    diff = got_idx != want_idx
+    if diff.any():
+        np.testing.assert_allclose(mat[np.arange(60), got_idx][diff],
+                                   want_iou[diff], atol=5e-3)
+
