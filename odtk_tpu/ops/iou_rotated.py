@@ -215,6 +215,26 @@ def _soa_clip_iou(sx, sy, sx_raw, sy_raw, cx, cy):
     return jnp.where(both_nan, 1.0, jnp.where(jnp.isnan(inter), 0.0, iou))
 
 
+def quad_iou_one_vs_all(subject_quads, clip_quad):
+    """IoU of N subject quads vs one clip quad: [N, 8], [8] -> [N].
+
+    Plane-parallel fast path (used per NMS round, nms_iou.cu:171-251).
+    """
+    subj = subject_quads.reshape(-1, 8).astype(jnp.float32)
+    clip = clip_quad.reshape(8).astype(jnp.float32)
+    n = subj.shape[0]
+    cx = [clip[2 * k] for k in range(4)]
+    cy = [clip[2 * k + 1] for k in range(4)]
+    sx_raw = [subj[:, 2 * k] for k in range(4)]
+    sy_raw = [subj[:, 2 * k + 1] for k in range(4)]
+    sx = [jnp.where(sx_raw[k] == cx[k], sx_raw[k] + 0.001, sx_raw[k])
+          for k in range(4)]
+    sy = [jnp.where(sy_raw[k] == cy[k], sy_raw[k] + 0.001, sy_raw[k])
+          for k in range(4)]
+    zeros = [jnp.zeros((n,), jnp.float32)] * 4
+    return _soa_clip_iou(sx + zeros, sy + zeros, sx_raw, sy_raw, cx, cy)
+
+
 def rotated_best_match(subject_quads, clip_quads, valid):
     """(best_iou [N], best_idx [N]) of each subject vs M clip quads.
 

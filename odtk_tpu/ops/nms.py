@@ -15,7 +15,7 @@ Inputs use the zero-score-is-empty convention shared with decode.
 import jax
 import jax.numpy as jnp
 
-from .iou_rotated import polygon_iou, sincos_box_corners
+from .iou_rotated import quad_iou_one_vs_all, sincos_box_corners
 
 
 def _axis_iou_one_vs_all(box, boxes):
@@ -32,11 +32,12 @@ def _rotated_iou_one_vs_all(box, boxes):
     """Polygon IoU of one (x1,y1,x2,y2,sin,cos) box vs [N, 6].
 
     Subject polygons are the candidates (i-boxes), clipped against the
-    selected m-box — same orientation as nms_iou.cu:171-251.
+    selected m-box — same orientation as nms_iou.cu:171-251; uses the
+    plane-parallel clipper ([N]-wide elementwise, no tiny matmuls).
     """
     corners = sincos_box_corners(boxes)                     # [N, 8]
-    m_corner = sincos_box_corners(box[None, :])             # [1, 8]
-    return polygon_iou(corners, jnp.broadcast_to(m_corner, corners.shape))
+    m_corner = sincos_box_corners(box[None, :])[0]          # [8]
+    return quad_iou_one_vs_all(corners, m_corner)
 
 
 def _nms_single(scores, boxes, classes, nms_thresh, ndetections, iou_fn, nb):
