@@ -1,0 +1,56 @@
+"""AOT Engine package tests: export, reload, batch-profile dispatch."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from odtk_tpu.model import Model
+from odtk_tpu.export import export_model, Engine
+
+
+@pytest.fixture(scope='module')
+def engine(tmp_path_factory):
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    path = str(tmp_path_factory.mktemp('engine') / 'm.engine')
+    export_model(m, (128, 128), precision='fp32', path=path,
+                 dynamic_batch_opts=[1, 2, 2])
+    return Engine.load(path), m
+
+
+def test_engine_metadata(engine):
+    eng, m = engine
+    assert eng.input_size == (128, 128)
+    assert eng.max_batch == 2
+    assert eng.max_detections == 100
+    assert eng.stride == 128
+    assert sorted(eng.meta['batches']) == [1, 2]
+
+
+def test_engine_matches_jit_inference(engine):
+    eng, m = engine
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(1, 128, 128, 3).astype(np.float32) * 0.1
+    s_e, b_e, c_e = eng(imgs)
+    s_j, b_j, c_j = m.inference_fn(m.variables, jnp.asarray(imgs))
+    np.testing.assert_allclose(s_e, np.asarray(s_j), atol=1e-5)
+    np.testing.assert_allclose(b_e, np.asarray(b_j), atol=1e-4)
+
+
+def test_engine_pads_to_profile(engine):
+    eng, m = engine
+    rng = np.random.RandomState(1)
+    one = rng.randn(1, 128, 128, 3).astype(np.float32) * 0.1
+    two = np.concatenate([one, np.zeros_like(one)], axis=0)
+    # batch 2 uses the 2-profile; row 0 results must match batch-1 run
+    s1, b1, c1 = eng(one)
+    s2, b2, c2 = eng(two)
+    assert s1.shape[0] == 1 and s2.shape[0] == 2
+    np.testing.assert_allclose(s2[0], s1[0], atol=1e-5)
+
+
+def test_engine_rejects_bad_magic(tmp_path):
+    p = tmp_path / 'junk.engine'
+    p.write_bytes(b'not an engine at all')
+    with pytest.raises(Exception):
+        Engine.load(str(p))
