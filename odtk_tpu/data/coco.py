@@ -76,7 +76,6 @@ def _adjust_colors(arr, brightness, contrast, hue, saturation):
     if hue:
         f = float(np.clip(random.normalvariate(0, hue), -0.5, 0.5))
         if abs(f) > 1e-8:
-            import colorsys  # noqa: F401  (documented rotation below)
             # rotate hue channel in HSV space
             import cv2
             hsv = cv2.cvtColor(np.clip(arr, 0, 1), cv2.COLOR_RGB2HSV)

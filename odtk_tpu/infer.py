@@ -10,8 +10,6 @@ Backends: a Model (jit path) or an exported AOT engine
 (odtk_tpu.export.Engine — the TensorRT-plan equivalent, infer.py:23).
 """
 
-import os
-
 import jax
 import numpy as np
 

@@ -92,7 +92,6 @@ def load(filename, rotated_bbox=False, dtype=None):
     its optax template)/scheduler.
     """
     from ..model import Model
-    import jax.numpy as jnp
 
     if not os.path.isfile(filename):
         raise ValueError('No checkpoint {}'.format(filename))

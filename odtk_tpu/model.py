@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from . import backbones as backbones_mod
 from .ops import (decode, nms, nms_rotated, focal_loss, smooth_l1_loss,

@@ -79,9 +79,12 @@ def generate_anchors_rotated(stride, ratios, scales, angles):
     xy1 = np.stack([xy0[:, 0], xy2[:, 1]], axis=1)       # bottom-left
     xy3 = np.stack([xy2[:, 0], xy0[:, 1]], axis=1)       # top-right
 
-    # Rotation matrices per angle: R = [[cos, sin], [-sin, cos]]
+    # Rotation matrices per angle — inference/eval convention
+    # (x' = c*dx - s*dy), matching ops.boxes.rotate_boxes; see the
+    # convention note there. Symmetric angle sets (the default) are
+    # invariant to this choice.
     c, si = np.cos(angles), np.sin(angles)
-    rot = np.stack([np.stack([c, si], 1), np.stack([-si, c], 1)], axis=1)
+    rot = np.stack([np.stack([c, -si], 1), np.stack([si, c], 1)], axis=1)
 
     ctr = stride / 2.0 - 0.5
     corners = []

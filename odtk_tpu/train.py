@@ -18,7 +18,6 @@ Functional parity with odtk/train.py:18-220, redesigned for TPU:
 
 import math
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
