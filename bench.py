@@ -22,9 +22,18 @@ ITERS = 30
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
     from odtk_tpu.model import Model
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
 
     model = Model(backbones='ResNet50FPN', classes=80, dtype=jnp.bfloat16)
     model.initialize(rng=0, image_size=(256, 256))
