@@ -277,9 +277,17 @@ def run(args, model, state):
         if args.int8:
             precision = 'INT8'
 
-        model.export(input_size, args.dynamic_batch_opts, precision,
-                     calibration_files, args.calibration_table,
-                     args.verbose, path=args.export)
+        if args.export.endswith('.cppengine'):
+            # self-contained C++ deployment engine (extras/cppapi)
+            from .export import export_cpp_engine
+            export_cpp_engine(model, tuple(input_size),
+                              batch=args.dynamic_batch_opts[1],
+                              path=args.export, precision=precision,
+                              verbose=args.verbose)
+        else:
+            model.export(input_size, args.dynamic_batch_opts, precision,
+                         calibration_files, args.calibration_table,
+                         args.verbose, path=args.export)
 
 
 def main(args=None):
