@@ -42,10 +42,12 @@ def _split_token(token):
     return out
 
 
-def state_dict_to_variables(state_dict, template):
+def state_dict_to_variables(state_dict, template, partial=False):
     """Fill a flax variables template {'params':…, 'frozen':…} from a
     torch-style state_dict of numpy arrays. Returns (variables, report)
-    where report lists unmatched torch keys and unfilled flax paths."""
+    where report lists unmatched torch keys and unfilled flax paths.
+    With partial=True, unfilled template slots keep their init values
+    (backbone-only loads)."""
     # Group torch keys by module path to detect batchnorm modules
     modules = {}
     for k, v in state_dict.items():
@@ -103,6 +105,38 @@ def _to_mutable(tree):
         return {k: _to_mutable(v) for k, v in tree.items()}
     except AttributeError:
         return tree
+
+
+def load_backbone_weights(model, backbone_name, path):
+    """Initialize one backbone from a torchvision-format .pth state_dict
+    (the model-zoo init of odtk/backbones/resnet.py:20-22, from a local
+    file — this environment has no download path).
+
+    Plain torchvision keys ('conv1.weight', 'layer1.0....',
+    'features.3.conv.0.0....') are prefixed to our
+    'backbones.<Name>.features.' namespace; classifier heads ('fc.*',
+    'classifier.*') are dropped like the reference's unused_modules.
+    Returns the fill report.
+    """
+    import torch
+    raw = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(raw, dict) and 'state_dict' in raw:
+        raw = raw['state_dict']
+    prefix = f'backbones.{backbone_name}.features.'
+    sd = {}
+    for k, v in raw.items():
+        if k.startswith(('fc.', 'classifier.')):
+            continue
+        arr = v.detach().numpy() if hasattr(v, 'detach') else np.asarray(v)
+        sd[prefix + k] = arr
+    filled, report = state_dict_to_variables(sd, model.variables,
+                                             partial=True)
+    if report['unmatched']:
+        raise ValueError(
+            f'{len(report["unmatched"])} tensors in {path} did not match '
+            f'the {backbone_name} backbone, e.g. {report["unmatched"][:3]}')
+    model.variables = filled
+    return report
 
 
 def variables_to_state_dict(variables):

@@ -78,6 +78,11 @@ def parse(args):
                               help='post metrics to specified url')
     parser_train.add_argument('--fine-tune', metavar='path', type=str,
                               help='fine tune a pretrained model')
+    parser_train.add_argument('--backbone-weights', metavar='path', type=str,
+                              nargs='+', default=[],
+                              help='torchvision-format .pth file(s) to '
+                                   'initialize the backbone(s) from '
+                                   '(ImageNet init without a download path)')
     parser_train.add_argument('--logdir', metavar='logdir', type=str,
                               help='directory where to write logs')
     parser_train.add_argument('--val-iters', metavar='number', type=int,
@@ -190,6 +195,10 @@ def load_model(args, verbose=False):
                       anchor_ious=args.anchor_ious)
         model.initialize(rng=random.randint(0, 2 ** 31 - 1),
                          fine_tune=args.fine_tune)
+        for bb, w in zip(args.backbone, getattr(args, 'backbone_weights', [])):
+            from .io.torch_import import load_backbone_weights
+            print('Loading {} weights from {}...'.format(bb, w))
+            load_backbone_weights(model, bb, w)
         if verbose:
             print(model)
 

@@ -67,3 +67,40 @@ def test_reference_style_keys_import():
     # head final conv + bias
     got = np.asarray(filled['params']['cls_head_8']['bias'])
     np.testing.assert_array_equal(got, sd['cls_head.8.bias'])
+
+
+def test_backbone_weights_from_torchvision_file(tmp_path):
+    """Plain torchvision resnet18 naming (incl. fc.*) loads into the
+    backbone; head params keep their init."""
+    import torch
+    from odtk_tpu.io.torch_import import load_backbone_weights
+
+    m = Model(backbones='ResNet18FPN', classes=2)
+    m.initialize(rng=0, image_size=(128, 128))
+
+    rng = np.random.RandomState(1)
+    sd = {}
+    # walk our own template to enumerate required shapes, but write the
+    # keys as torchvision would (strip our prefix)
+    from odtk_tpu.io.torch_import import variables_to_state_dict
+    full = variables_to_state_dict(m.variables)
+    prefix = 'backbones.ResNet18FPN.features.'
+    for k, v in full.items():
+        if k.startswith(prefix):
+            sd[k[len(prefix):]] = torch.from_numpy(
+                rng.randn(*v.shape).astype(np.float32))
+    sd['fc.weight'] = torch.zeros(1000, 512)   # classifier: must be dropped
+    sd['fc.bias'] = torch.zeros(1000)
+    path = str(tmp_path / 'resnet18.pth')
+    torch.save(sd, path)
+
+    before_head = np.asarray(m.variables['params']['cls_head_0']['kernel'])
+    load_backbone_weights(m, 'ResNet18FPN', path)
+    got = np.asarray(m.variables['params']['backbones_ResNet18FPN']
+                     ['features']['conv1']['kernel'])
+    want = sd['conv1.weight'].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(got, want)
+    # untouched head
+    np.testing.assert_array_equal(
+        np.asarray(m.variables['params']['cls_head_0']['kernel']),
+        before_head)
