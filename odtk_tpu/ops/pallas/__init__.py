@@ -9,5 +9,6 @@ is used automatically.
 """
 
 from .nms_kernel import nms_pallas
+from .iou_kernel import rotated_best_match_pallas
 
-__all__ = ['nms_pallas']
+__all__ = ['nms_pallas', 'rotated_best_match_pallas']

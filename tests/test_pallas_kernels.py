@@ -69,3 +69,40 @@ def test_pallas_nms_nonaligned_n(interpret_pallas):
     got = jax.tree.map(np.asarray, nms_pallas(
         jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls), 0.5, 30))
     np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+
+
+def test_pallas_rotated_best_match_matches_reference(monkeypatch):
+    """Interpret-mode parity of the Pallas polygon-IoU best-match kernel
+    against the jnp plane-parallel reference."""
+    from odtk_tpu.ops.iou_rotated import rotated_best_match
+    from odtk_tpu.ops.pallas.iou_kernel import rotated_best_match_pallas
+
+    rng = np.random.RandomState(2)
+    n, m = 500, 9
+
+    def quad(cx, cy, w, h, th):
+        c, s = np.cos(th), np.sin(th)
+        pts = np.array([[-w/2, -h/2], [w/2, -h/2], [w/2, h/2], [-w/2, h/2]])
+        return (pts @ np.array([[c, s], [-s, c]]) + [cx, cy]).reshape(8)
+
+    subs = np.stack([quad(rng.uniform(0, 80), rng.uniform(0, 80),
+                          rng.uniform(5, 30), rng.uniform(5, 30),
+                          rng.uniform(-1.2, 1.2)) for _ in range(n)]
+                    ).astype(np.float32)
+    clips = np.stack([quad(rng.uniform(0, 80), rng.uniform(0, 80),
+                           rng.uniform(5, 30), rng.uniform(5, 30),
+                           rng.uniform(-1.2, 1.2)) for _ in range(m)]
+                     ).astype(np.float32)
+    valid = np.array([1, 1, 0, 1, 1, 1, 0, 1, 1], bool)
+
+    ri, rx = jax.tree.map(np.asarray, rotated_best_match(
+        jnp.asarray(subs), jnp.asarray(clips), jnp.asarray(valid)))
+    pi, px = jax.tree.map(np.asarray, rotated_best_match_pallas(
+        jnp.asarray(subs), jnp.asarray(clips), jnp.asarray(valid),
+        interpret=True))
+    # identical where any box was considered; fully-rejected anchors
+    # keep the -2 sentinel (documented, classification-equivalent)
+    considered = pi > -1.5
+    np.testing.assert_allclose(pi[considered], ri[considered], atol=1e-5)
+    assert (px[considered] == rx[considered]).all()
+    assert (ri[~considered] <= 0.0).all()
