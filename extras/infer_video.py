@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Multi-stream batched video inference — the DeepStream-pipeline
+equivalent (reference: extras/deepstream 1-video and 8-video configs).
+
+Decodes N video streams with OpenCV, batches one frame per stream into
+a single engine call (streams ride the batch axis, like DeepStream's
+batched nvinfer), draws detections and writes per-stream outputs.
+
+Usage:
+  python extras/infer_video.py model.ckpt|engine out_dir in1.mp4 [in2.mp4 ...]
+      [--size 640] [--threshold 0.3] [--batch-from-engine]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('model')
+    p.add_argument('out_dir')
+    p.add_argument('videos', nargs='+')
+    p.add_argument('--size', type=int, default=640)
+    p.add_argument('--threshold', type=float, default=0.3)
+    args = p.parse_args()
+
+    import cv2
+    from odtk_tpu.data.coco import IMAGENET_MEAN, IMAGENET_STD
+
+    n = len(args.videos)
+    if args.model.endswith(('.engine', '.cppengine')):
+        from odtk_tpu.export import Engine
+        engine = Engine.load(args.model)
+        th, tw = engine.input_size
+        infer = engine
+    else:
+        import jax
+        import jax.numpy as jnp
+        from odtk_tpu.model import Model
+        model, _ = Model.load(args.model)
+        model.set_dtype(jnp.bfloat16)
+        th = tw = args.size
+        jfn = jax.jit(model.inference_fn)
+
+        def infer(batch):
+            s, b, c = jfn(model.variables, jnp.asarray(batch))
+            return np.asarray(s), np.asarray(b), np.asarray(c)
+
+    caps = [cv2.VideoCapture(v) for v in args.videos]
+    os.makedirs(args.out_dir, exist_ok=True)
+    sinks, ratios = [], []
+    for cap, v in zip(caps, args.videos):
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25
+        sinks.append(cv2.VideoWriter(
+            os.path.join(args.out_dir, os.path.basename(v)),
+            cv2.VideoWriter_fourcc(*'mp4v'), fps, (w, h)))
+        ratios.append(min(tw / w, th / h))
+
+    frames_done = 0
+    while True:
+        frames = []
+        for cap in caps:
+            ok, frame = cap.read()
+            frames.append(frame if ok else None)
+        if all(f is None for f in frames):
+            break
+
+        batch = np.zeros((n, th, tw, 3), np.float32)
+        for i, f in enumerate(frames):
+            if f is None:
+                continue
+            r = ratios[i]
+            rs = cv2.resize(f, (int(f.shape[1] * r), int(f.shape[0] * r)))
+            rgb = cv2.cvtColor(rs, cv2.COLOR_BGR2RGB).astype(np.float32)
+            rgb = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            batch[i, :rgb.shape[0], :rgb.shape[1]] = rgb
+
+        scores, boxes, classes = infer(batch)
+        for i, f in enumerate(frames):
+            if f is None:
+                continue
+            r = ratios[i]
+            for s, b, c in zip(scores[i], boxes[i], classes[i]):
+                if s < args.threshold:
+                    continue
+                x1, y1, x2, y2 = (b[:4] / r).astype(int)
+                cv2.rectangle(f, (x1, y1), (x2, y2), (0, 255, 0), 2)
+                cv2.putText(f, f'{int(c)}:{s:.2f}', (x1 + 2, y1 + 14),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.45, (0, 255, 0), 1)
+            sinks[i].write(f)
+        frames_done += 1
+
+    for cap in caps:
+        cap.release()
+    for sink in sinks:
+        sink.release()
+    print(f'processed {frames_done} frames x {n} streams -> {args.out_dir}')
+
+
+if __name__ == '__main__':
+    main()
