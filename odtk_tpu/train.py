@@ -94,7 +94,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
           rotate_augment=False, augment_brightness=0.0, augment_contrast=0.0,
           augment_hue=0.0, augment_saturation=0.0, regularization_l2=0.0001,
           rotated_bbox=False, absolute_angle=False, max_det=128,
-          use_dali=False, profile_dir=None):
+          use_dali=False, profile_dir=None, sync_every=8):
     'Train the model on the given dataset'
     del use_dali  # host pipeline is always the fused loader on TPU
 
@@ -158,6 +158,28 @@ def train(model, state, path, annotations, val_path, val_annotations,
     # jax.profiler trace of steady-state iterations 10..20.
     profile_start = iteration + 10 if profile_dir else None
     cls_losses, box_losses = [], []
+    # Losses stay on-device and are fetched every ``sync_every`` steps:
+    # a per-step host sync stalls the dispatch pipeline (the reference's
+    # per-iteration .item()/isfinite, train.py:126-138, is free on a
+    # local GPU but costs a full host roundtrip here). The divergence
+    # guard therefore fires within sync_every steps instead of one.
+    pending = []
+
+    def drain_pending():
+        nonlocal pending
+        for it_idx, shape, cl_dev, bl_dev in pending:
+            cl, bl = float(cl_dev), float(bl_dev)
+            if os.environ.get('ODTK_DEBUG'):
+                print(f'  debug it{it_idx}: cl={cl:.4f} bl={bl:.4f} '
+                      f'shape={shape}', flush=True)
+            if is_master:
+                cls_losses.append(cl)
+                box_losses.append(bl)
+                if not math.isfinite(cl + bl):
+                    raise RuntimeError('Loss is diverging!\n{}'.format(
+                        'Try lowering the learning rate.'))
+        pending = []
+
     while iteration < iterations:
         for data, target in data_iterator:
             if iteration >= iterations:
@@ -170,19 +192,11 @@ def train(model, state, path, annotations, val_path, val_annotations,
                 params, opt_state, frozen, images, targets)
             profiler.stop('fw')
             profiler.start('bw')
-            cls_loss = float(cls_loss)
-            box_loss = float(box_loss)
+            pending.append((iteration, data.shape, cls_loss, box_loss))
+            if len(pending) >= max(1, sync_every) \
+                    or iteration + 1 >= iterations:
+                drain_pending()
             profiler.stop('bw')
-
-            if os.environ.get('ODTK_DEBUG'):
-                print(f'  debug it{iteration}: cl={cls_loss:.4f} '
-                      f'bl={box_loss:.4f} shape={data.shape}', flush=True)
-            if is_master:
-                cls_losses.append(cls_loss)
-                box_losses.append(box_loss)
-                if not math.isfinite(cls_loss + box_loss):
-                    raise RuntimeError('Loss is diverging!\n{}'.format(
-                        'Try lowering the learning rate.'))
 
             iteration += 1
             if profile_start is not None and iteration == profile_start + 10:
@@ -191,6 +205,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
             profiler.bump('train')
             if is_master and (profiler.totals['train'] > 60
                               or iteration == iterations):
+                drain_pending()
                 focal_loss = float(np.mean(cls_losses))
                 box_loss_m = float(np.mean(box_losses))
                 learning_rate = float(lr_schedule(
