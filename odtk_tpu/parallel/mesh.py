@@ -19,13 +19,24 @@ def make_mesh(devices=None, axis_name='data'):
 
 def make_mesh_for_batch(local_batch, axis_name='data'):
     """Mesh over the largest device prefix that evenly divides the
-    per-host batch (keeps sharding legal for small debug batches)."""
+    per-host batch (keeps sharding legal for small debug batches).
+
+    Softer than the reference's hard divisibility error
+    (odtk/main.py:170-171): non-divisible batches run on fewer chips
+    with a warning instead of aborting.
+    """
     devices = jax.devices()
     if jax.process_count() > 1:
         return make_mesh(devices, axis_name)   # divisibility enforced upstream
     n = len(jax.local_devices())
     while n > 1 and local_batch % n != 0:
         n -= 1
+    if n < len(devices):
+        import warnings
+        warnings.warn(
+            f'batch size {local_batch} is not a multiple of the device '
+            f'count {len(devices)}; using {n} device(s). Make the batch '
+            f'a multiple of the device count to use every chip.')
     return make_mesh(devices[:n], axis_name)
 
 
