@@ -108,6 +108,16 @@ class DataIterator:
         self.epoch += 1
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
+        # Every batch must have exactly batch_size rows: the jitted step
+        # and the mesh sharding are compiled for one static batch shape,
+        # and shard_batch requires dim 0 divisible by the mesh size. Pad
+        # a short final batch by wrapping around the epoch order —
+        # training tolerates repeated samples (DistributedSampler does
+        # the same) and inference dedups by image id downstream.
+        if batches and len(batches[-1]) < self.batch_size:
+            need = self.batch_size - len(batches[-1])
+            batches[-1] = batches[-1] + [
+                indices[j % len(indices)] for j in range(need)]
 
         work_q = queue.Queue()
         out_q = queue.Queue(maxsize=max(1, self.prefetch))

@@ -291,7 +291,14 @@ class Engine:
         images = np.asarray(images, np.float32)
         b = images.shape[0]
         profiles = sorted(int(x) for x in self.blobs)
-        target = next((p for p in profiles if p >= b), profiles[-1])
+        if b > profiles[-1]:
+            # batch exceeds the largest compiled profile: run
+            # profile-sized sub-batches and concatenate (the reference
+            # runner's chunking behavior, csrc/extensions.cpp:160-181)
+            step = profiles[-1]
+            parts = [self(images[i:i + step]) for i in range(0, b, step)]
+            return tuple(np.concatenate(p, axis=0) for p in zip(*parts))
+        target = next(p for p in profiles if p >= b)
         th, tw = self.input_size
         padded = np.zeros((target, th, tw, 3), np.float32)
         padded[:b, :images.shape[1], :images.shape[2]] = \

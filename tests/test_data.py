@@ -90,3 +90,34 @@ def test_bare_image_dir_auto_annotations(dataset_dir):
                       num_threads=1)
     data, ids, ratios = next(iter(it))
     assert data.shape[0] == 2
+
+
+def test_loader_pads_ragged_final_batch(dataset_dir):
+    # 6 images, batch 4 -> the final batch would be ragged (2 rows);
+    # the loader must pad it to the full static batch (the jitted step
+    # and mesh sharding are compiled for one batch shape).
+    img_dir, ann = dataset_dir
+    it = DataIterator(img_dir, resize=128, max_size=256, batch_size=4,
+                      stride=64, world=1, annotations=ann, training=False,
+                      num_threads=1, shuffle=False)
+    batches = list(it)
+    assert len(batches) == 2
+    seen = []
+    for data, ids, ratios in batches:
+        assert data.shape[0] == 4
+        assert ids.shape == (4,)
+        seen.extend(ids.tolist())
+    # every image appears; padding duplicates wrap around the order
+    assert sorted(set(seen)) == [0, 1, 2, 3, 4, 5]
+    assert len(seen) == 8
+
+
+def test_loader_dataset_smaller_than_batch(dataset_dir):
+    img_dir, ann = dataset_dir
+    it = DataIterator(img_dir, resize=128, max_size=256, batch_size=8,
+                      stride=64, world=1, annotations=ann, training=True,
+                      max_det=16, num_threads=1)
+    batches = list(it)
+    assert len(batches) == 1
+    data, targets = batches[0]
+    assert data.shape[0] == 8 and targets.shape[0] == 8

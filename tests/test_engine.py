@@ -54,3 +54,16 @@ def test_engine_rejects_bad_magic(tmp_path):
     p.write_bytes(b'not an engine at all')
     with pytest.raises(Exception):
         Engine.load(str(p))
+
+
+def test_engine_chunks_oversized_batch(engine):
+    # batch 5 > max profile 2: the engine must chunk into profile-sized
+    # sub-batches and concatenate (csrc/extensions.cpp:160-181 behavior)
+    eng, m = engine
+    rng = np.random.RandomState(2)
+    imgs = rng.randn(5, 128, 128, 3).astype(np.float32) * 0.1
+    s, b, c = eng(imgs)
+    assert s.shape[0] == 5 and b.shape[0] == 5 and c.shape[0] == 5
+    s1, b1, c1 = eng(imgs[3:4])
+    np.testing.assert_allclose(s[3], s1[0], atol=1e-5)
+    np.testing.assert_allclose(b[3], b1[0], atol=1e-4)
