@@ -7,7 +7,11 @@ Mirrors the reference's headline inference benchmark conditions
 A100 FP16 (ResNet50FPN row). The whole pipeline is one jitted XLA
 graph; we time steady-state wall clock with device sync.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the INT8 engine path (calibrated activation+weight
+quantization executing int8 convs on the MXU) against the reference's
+8 ms A100 INT8 row — reported as extra keys on the same JSON line.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -15,10 +19,38 @@ import time
 
 import numpy as np
 
-BASELINE_MS = 11.0   # ResNet50FPN A100 FP16 b=1 (BASELINE.md)
+BASELINE_MS = 11.0        # ResNet50FPN A100 FP16 b=1 (BASELINE.md)
+BASELINE_INT8_MS = 8.0    # ResNet50FPN A100 INT8 b=1 (README.md:33)
 SIZE = (800, 800)
 WARMUP = 5
 ITERS = 30
+
+
+def measure(fn, *args):
+    """Amortized per-call latency of fn(*args) in ms.
+
+    block_until_ready does not synchronize over the axon tunnel, so we
+    time K chained dispatches with one host fetch at the end and
+    difference two K values — the fetch cost cancels, and back-to-back
+    dispatches serialize on the device stream.
+    """
+    out = fn(*args)
+    np.asarray(out[0])
+    for _ in range(WARMUP):
+        out = fn(*args)
+    np.asarray(out[0])
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            o = fn(*args)
+        np.asarray(o[0])
+        return time.perf_counter() - t0
+
+    k1, k2 = ITERS // 4, ITERS
+    t1 = min(run(k1) for _ in range(3))
+    t2 = min(run(k2) for _ in range(3))
+    return float((t2 - t1) / (k2 - k1) * 1e3)
 
 
 def main():
@@ -42,34 +74,84 @@ def main():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(1, SIZE[0], SIZE[1], 3), jnp.float32)
 
-    # NOTE: block_until_ready does not synchronize over the axon tunnel,
-    # so we measure amortized latency of ITERS chained dispatches with a
-    # single host fetch at the end, subtracting the fetch cost (measured
-    # separately). Back-to-back dispatches serialize on the device
-    # stream, so this is true per-frame device latency.
-    out = fn(model.variables, images)
-    np.asarray(out[0])
-    for _ in range(WARMUP):
-        out = fn(model.variables, images)
-    np.asarray(out[0])
-
-    def run(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            o = fn(model.variables, images)
-        np.asarray(o[0])
-        return time.perf_counter() - t0
-
-    k1, k2 = ITERS // 4, ITERS
-    t1 = min(run(k1) for _ in range(3))
-    t2 = min(run(k2) for _ in range(3))
-    ms = float((t2 - t1) / (k2 - k1) * 1e3)   # fetch cost cancels
-    print(json.dumps({
+    ms = measure(fn, model.variables, images)
+    result = {
         'metric': 'resnet50fpn_b1_800_e2e_latency',
         'value': round(ms, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINE_MS / ms, 3),
-    }))
+    }
+
+    # INT8 engine path (w8a16: int8 weights dequantized in-graph, bf16
+    # MXU compute — full w8a8 int8 convs measured 2.3x slower through
+    # XLA's current TPU conv lowering, see CLAUDE.md). Calibration on
+    # noise images: latency is scale-independent.
+    try:
+        from odtk_tpu.quantize import (capture_activation_absmax,
+                                       flatten_absmax,
+                                       build_quant_variables)
+        absmax = flatten_absmax(
+            capture_activation_absmax(model, images))
+        qvars, _ = build_quant_variables(model.variables, absmax)
+        qvars = jax.device_put(qvars)     # numpy would re-upload per call
+        fn8 = jax.jit(model.inference_fn)
+        ms8 = measure(fn8, qvars, images)
+        result['int8_latency_ms'] = round(ms8, 3)
+        result['int8_vs_baseline'] = round(BASELINE_INT8_MS / ms8, 3)
+    except Exception as e:  # noqa: BLE001 — int8 extra must not kill the bench
+        result['int8_error'] = str(e)[:200]
+
+    # Training throughput (im/s/chip): full train step — fwd, anchor
+    # assignment, focal+smoothL1, bwd, SGD update — at the repo's
+    # recorded conditions (b=8 @832, PARITY.md). North star:
+    # >=40k img/s on a v5e-256 pod = 156 im/s/chip (BASELINE.md).
+    try:
+        result.update(bench_train(model_cls=Model))
+    except Exception as e:  # noqa: BLE001
+        result['train_error'] = str(e)[:200]
+
+    print(json.dumps(result))
+
+
+def bench_train(model_cls, batch=8, size=832, steps=24):
+    import jax
+    import jax.numpy as jnp
+    from odtk_tpu.train import make_optimizer, make_train_step
+    from odtk_tpu.parallel import make_mesh, shard_batch
+
+    model = model_cls(backbones='ResNet50FPN', classes=80,
+                      dtype=jnp.bfloat16)
+    model.initialize(rng=0, image_size=(256, 256))
+    mesh = make_mesh(jax.devices()[:1])
+    tx = make_optimizer(lr=0.01, warmup=100, milestones=[1000], gamma=0.1)
+    params = model.variables['params']
+    frozen = model.variables['frozen']
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, mesh)
+
+    rng = np.random.RandomState(0)
+    data = rng.randn(batch, size, size, 3).astype(np.float32) * 0.5
+    targets = np.full((batch, 32, 5), -1.0, np.float32)
+    targets[:, :4, :4] = rng.uniform(40, 400, (batch, 4, 4))
+    targets[:, :4, 4] = rng.randint(0, 80, (batch, 4))
+    images, tgts = shard_batch(mesh, data, targets)
+
+    def run(k, params, opt_state):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            params, opt_state, cl, bl = step(params, opt_state, frozen,
+                                             images, tgts)
+        float(cl)          # sync
+        return time.perf_counter() - t0, params, opt_state
+
+    _, params, opt_state = run(4, params, opt_state)       # warm
+    k1, k2 = steps // 4, steps
+    t1, params, opt_state = run(k1, params, opt_state)
+    t2, params, opt_state = run(k2, params, opt_state)
+    sec = (t2 - t1) / (k2 - k1)
+    return {'train_im_s_per_chip': round(batch / sec, 2),
+            'train_step_ms': round(sec * 1e3, 2),
+            'train_batch': batch, 'train_size': size}
 
 
 if __name__ == '__main__':

@@ -65,5 +65,15 @@ run export "$WORK/model.ckpt" "$WORK/model.engine" --size $SIZE \
 run infer "$WORK/model.engine" --images "$IMAGES" \
     --annotations "$ANNOTATIONS" --batch 2 \
     --output "$WORK/detections_engine.json" --full-precision
+# 7. INT8: calibrate on the dataset images and export an int8 engine
+run export "$WORK/model.ckpt" "$WORK/model_int8.engine" --size $SIZE \
+    --int8 --calibration-images "$IMAGES" \
+    --calibration-table "$WORK/calibration.json" \
+    --dynamic-batch-opts 1 2 2 --verbose
+# 8. infer with the int8 engine (accuracy delta vs step 6 shows in the
+#    mAP lines of both runs)
+run infer "$WORK/model_int8.engine" --images "$IMAGES" \
+    --annotations "$ANNOTATIONS" --batch 2 \
+    --output "$WORK/detections_int8.json" --full-precision
 
 echo "ALL SMOKE TESTS PASSED in $(( $(date +%s) - start ))s (workdir $WORK)"

@@ -11,6 +11,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import QuantConv
 from .mobilenet import MobileNet
 from .registry import register
 
@@ -19,10 +20,10 @@ _XAVIER = nn.initializers.xavier_uniform()
 
 def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
     pad = kernel // 2
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(pad, pad), (pad, pad)], use_bias=True,
-                   dtype=dtype, param_dtype=jnp.float32,
-                   kernel_init=_XAVIER, name=name)
+    return QuantConv(features, (kernel, kernel), strides=(stride, stride),
+                     padding=[(pad, pad), (pad, pad)], use_bias=True,
+                     dtype=dtype, param_dtype=jnp.float32,
+                     kernel_init=_XAVIER, name=name)
 
 
 def _upsample2x(x):

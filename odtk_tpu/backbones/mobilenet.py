@@ -15,7 +15,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import FixedBatchNorm
+from .layers import FixedBatchNorm, QuantConv
 
 _KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
@@ -34,11 +34,11 @@ _IR_CFG = [
 def _conv_bn_relu6(x, features, kernel, stride, groups, name, dtype):
     """ConvBNReLU block: names ``{name}_0`` (conv) / ``{name}_1`` (bn)."""
     pad = kernel // 2
-    x = nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                padding=[(pad, pad), (pad, pad)], use_bias=False,
-                feature_group_count=groups, dtype=dtype,
-                param_dtype=jnp.float32, kernel_init=_KAIMING,
-                name=f'{name}_0')(x)
+    x = QuantConv(features, (kernel, kernel), strides=(stride, stride),
+                  padding=[(pad, pad), (pad, pad)], use_bias=False,
+                  feature_group_count=groups, dtype=dtype,
+                  param_dtype=jnp.float32, kernel_init=_KAIMING,
+                  name=f'{name}_0')(x)
     x = FixedBatchNorm(features, dtype=dtype, name=f'{name}_1')(x)
     return jnp.minimum(nn.relu(x), 6.0)
 
@@ -61,9 +61,9 @@ class InvertedResidual(nn.Module):
         out = _conv_bn_relu6(out, hidden, 3, self.stride, hidden,
                              f'conv_{i}', self.dtype)
         i += 1
-        out = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                      param_dtype=jnp.float32, kernel_init=_KAIMING,
-                      name=f'conv_{i}')(out)
+        out = QuantConv(self.out_ch, (1, 1), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=_KAIMING, name=f'conv_{i}')(out)
         out = FixedBatchNorm(self.out_ch, dtype=self.dtype,
                              name=f'conv_{i + 1}')(out)
         if self.stride == 1 and self.in_ch == self.out_ch:

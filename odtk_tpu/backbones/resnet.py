@@ -13,7 +13,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import FixedBatchNorm
+from .layers import FixedBatchNorm, QuantConv
 from .registry import register
 
 _KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
@@ -21,10 +21,10 @@ _KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
 def _conv(features, kernel, stride=1, groups=1, name=None, dtype=jnp.float32):
     pad = kernel // 2
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(pad, pad), (pad, pad)], use_bias=False,
-                   feature_group_count=groups, dtype=dtype,
-                   param_dtype=jnp.float32, kernel_init=_KAIMING, name=name)
+    return QuantConv(features, (kernel, kernel), strides=(stride, stride),
+                     padding=[(pad, pad), (pad, pad)], use_bias=False,
+                     feature_group_count=groups, dtype=dtype,
+                     param_dtype=jnp.float32, kernel_init=_KAIMING, name=name)
 
 
 class BasicBlock(nn.Module):

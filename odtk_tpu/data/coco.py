@@ -98,7 +98,8 @@ class CocoDataset:
     box_width = 5
 
     def __init__(self, path, resize, max_size, stride, annotations=None,
-                 training=False, rotate_augment=False, augment_brightness=0.0,
+                 training=False, rotate_augment=False, crop_augment=False,
+                 augment_brightness=0.0,
                  augment_contrast=0.0, augment_hue=0.0, augment_saturation=0.0,
                  absolute_angle=False):
         self.path = os.path.expanduser(path)
@@ -107,6 +108,11 @@ class CocoDataset:
         self.stride = stride
         self.training = training
         self.rotate_augment = rotate_augment
+        self.crop_augment = crop_augment
+        if crop_augment and self.box_width == 6:
+            raise ValueError('crop augmentation does not support rotated '
+                             'boxes (the reference DALI crop path has the '
+                             'same restriction, odtk/train.py:64)')
         self.augment_brightness = augment_brightness
         self.augment_contrast = augment_contrast
         self.augment_hue = augment_hue
@@ -194,15 +200,111 @@ class CocoDataset:
             r = random.randint(int(r[0]), int(r[-1]))
         return r
 
+    # RandomBBoxCrop parameters (dali.py:33-36): IoU floor sampled from
+    # the DALI threshold set with a no-crop option, window is a uniform
+    # rescale of the image in [0.3, 1].
+    CROP_THRESHOLDS = (None, 0.1, 0.3, 0.5, 0.7, 0.9)
+    CROP_SCALING = (0.3, 1.0)
+    CROP_ATTEMPTS = 50
+
+    def _random_crop(self, im, boxes, categories):
+        """SSD-style crop in original pixel space (dali.py:71-74).
+
+        Picks an IoU floor, samples windows until at least one gt box
+        overlaps the window by >= floor AND at least one box center
+        lies inside; surviving boxes are clipped to the window.
+        Returns (PIL image, boxes xywh, categories), possibly unchanged.
+        """
+        floor = random.choice(self.CROP_THRESHOLDS)
+        if floor is None or len(boxes) == 0 or categories[0, 0] < 0:
+            return im, boxes, categories
+        w0, h0 = im.size
+        x1, y1 = boxes[:, 0], boxes[:, 1]
+        x2, y2 = x1 + boxes[:, 2], y1 + boxes[:, 3]
+        area = boxes[:, 2] * boxes[:, 3]
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        for _ in range(self.CROP_ATTEMPTS):
+            s = random.uniform(*self.CROP_SCALING)
+            cw, ch = max(1, int(s * w0)), max(1, int(s * h0))
+            wx = random.randint(0, w0 - cw)
+            wy = random.randint(0, h0 - ch)
+            ix1 = np.maximum(x1, wx)
+            iy1 = np.maximum(y1, wy)
+            ix2 = np.minimum(x2, wx + cw)
+            iy2 = np.minimum(y2, wy + ch)
+            inter = (np.maximum(ix2 - ix1, 0) * np.maximum(iy2 - iy1, 0))
+            iou = inter / (area + cw * ch - inter)
+            centered = ((cx >= wx) & (cx < wx + cw)
+                        & (cy >= wy) & (cy < wy + ch))
+            if iou.max() < floor or not centered.any():
+                continue
+            im = im.crop((wx, wy, wx + cw, wy + ch))
+            nb = np.stack([ix1 - wx, iy1 - wy,
+                           ix2 - ix1, iy2 - iy1], axis=1)
+            return im, nb[centered].astype(np.float32), categories[centered]
+        return im, boxes, categories
+
+    def _load_cropped_resized(self, img_id, resize):
+        """Crop-augmented decode path: full decode, crop in original
+        pixel space, THEN aspect-preserving resize — the crop gets the
+        full resize budget (zoom-in), matching the reference's
+        decode-slice-then-resize order (dali.py:71-74)."""
+        im = self._load_image(img_id)
+        boxes, categories = self._get_target(img_id)
+        im, boxes, categories = self._random_crop(im, boxes, categories)
+        w0, h0 = im.size
+        ratio = resize / min(w0, h0)
+        if ratio * max(w0, h0) > self.max_size:
+            ratio = self.max_size / max(w0, h0)
+        th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+        from . import native
+        arr = None
+        if native.available():
+            arr = native.resize_rgb(np.asarray(im, np.uint8), th, tw,
+                                    normalize=False)
+        if arr is None:
+            arr = np.asarray(im.resize((tw, th), Image.BILINEAR),
+                             np.float32)
+        if len(boxes) == 0:
+            boxes = np.ones((1, self.box_width - 1), np.float32)
+            categories = -np.ones((1, 1), np.float32)
+        return arr, ratio, boxes, categories
+
     def __getitem__(self, index):
         img_id = self.ids[index]
         resize = self._sample_resize()
+
+        target = None
+        if self.training and self.crop_augment:
+            arr, ratio, boxes, categories = self._load_cropped_resized(
+                img_id, resize)
+            boxes = self._scale_boxes(boxes, ratio)
+            # absorb integer-resize rounding: keep boxes on the canvas
+            h, w = arr.shape[:2]
+            hi_x = np.clip(boxes[:, 0] + boxes[:, 2], 0, w)
+            hi_y = np.clip(boxes[:, 1] + boxes[:, 3], 0, h)
+            boxes[:, 0] = np.clip(boxes[:, 0], 0, w - 1)
+            boxes[:, 1] = np.clip(boxes[:, 1], 0, h - 1)
+            boxes[:, 2] = np.maximum(hi_x - boxes[:, 0], 1e-3)
+            boxes[:, 3] = np.maximum(hi_y - boxes[:, 1], 1e-3)
+            arr, boxes = self._geometric_augment(arr, boxes)
+            arr = _adjust_colors(arr / 255.0, self.augment_brightness,
+                                 self.augment_contrast, self.augment_hue,
+                                 self.augment_saturation)
+            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+            target = np.concatenate([boxes, categories], axis=1)
+            h, w = arr.shape[:2]
+            ph = round_up(h, self.stride) - h
+            pw = round_up(w, self.stride) - w
+            if ph or pw:
+                arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+            return arr.astype(np.float32), target
+
         # training interleaves color jitter between decode and normalize,
         # so the fused native normalize is only used at eval time
         arr, ratio, normalized = self._load_resized(
             img_id, resize, normalize=not self.training)
 
-        target = None
         if self.training:
             boxes, categories = self._get_target(img_id)
             boxes = self._scale_boxes(boxes, ratio)

@@ -52,6 +52,7 @@ class DataIterator:
 
     def __init__(self, path, resize, max_size, batch_size, stride, world,
                  annotations, training=False, rotate_augment=False,
+                 crop_augment=False,
                  augment_brightness=0.0, augment_contrast=0.0,
                  augment_hue=0.0, augment_saturation=0.0, max_det=128,
                  rank=0, shuffle=None, fixed_size=None, num_threads=2,
@@ -59,7 +60,7 @@ class DataIterator:
         self.dataset = self.dataset_cls(
             path, resize=resize, max_size=max_size, stride=stride,
             annotations=annotations, training=training,
-            rotate_augment=rotate_augment,
+            rotate_augment=rotate_augment, crop_augment=crop_augment,
             augment_brightness=augment_brightness,
             augment_contrast=augment_contrast, augment_hue=augment_hue,
             augment_saturation=augment_saturation,

@@ -72,11 +72,14 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
         model.set_dtype(jnp.bfloat16)
         scale_table = calibrate(model, size, calibration_files,
                                 calibration_table, verbose=verbose)
-        from .quantize import quantize_model
-        qstats = quantize_model(model)
+        from .quantize import build_quant_variables
+        model.variables, qstats = build_quant_variables(
+            model.variables, scale_table['act_absmax'])
         if verbose:
-            print('int8 weight quantization: {} tensors, {:.2f}x'.format(
-                qstats['quantized_tensors'], qstats['ratio']))
+            print('int8: {} conv kernels stored as int8 ({:.2f}x smaller '
+                  'weights), activations quantized per calibrated layer '
+                  'scale'.format(qstats['quantized_tensors'],
+                                 qstats['ratio']))
 
     batches = sorted(set(dynamic_batch_opts or [batch]))
 
@@ -118,9 +121,16 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
 
 def calibrate(model, size, calibration_files, calibration_table=None,
               batches=2, verbose=False):
-    """INT8 PTQ scale capture: per-level head-output absmax over
-    calibration images; persisted as a reusable named table
-    (calibrator.h:130-156 cache behavior)."""
+    """INT8 PTQ calibration: per-conv-layer input absmax over
+    calibration images, persisted as a reusable named table
+    (the Int8EntropyCalibrator cache behavior, calibrator.h:130-156 —
+    absmax in place of entropy-optimal thresholds; conservative but
+    clip-free).
+
+    The table body maps each conv layer's module path to the maximum
+    absolute input value observed across the calibration set; engine
+    build turns these into int8 activation scales
+    (quantize.build_quant_variables)."""
     name = '_'.join(model.backbones)
     table_name = (calibration_table or
                   f'Int8CalibrationTable_{name}{size[0]}x{size[1]}_{batches}')
@@ -132,28 +142,26 @@ def calibrate(model, size, calibration_files, calibration_table=None,
 
     from PIL import Image
     from .data.coco import IMAGENET_MEAN, IMAGENET_STD
-    scales = None
+    from .quantize import (capture_activation_absmax, flatten_absmax,
+                           merge_absmax)
     files = list(calibration_files or [])[:batches * 8]
     if not files:
         raise RuntimeError('No calibration images found')
+    absmax = {}
     for fp in files:
         im = Image.open(fp).convert('RGB').resize((size[1], size[0]),
                                                   Image.BILINEAR)
         arr = (np.asarray(im, np.float32) / 255.0 - IMAGENET_MEAN) \
             / IMAGENET_STD
-        cls_heads, box_heads = model.heads_fn(model.variables,
-                                              jnp.asarray(arr[None]))
-        level_max = [float(jnp.abs(b).max()) for b in box_heads]
-        if scales is None:
-            scales = level_max
-        else:
-            scales = [max(a, b) for a, b in zip(scales, level_max)]
-    table = {'version': 1, 'net': name,
-             'size': list(size), 'box_head_absmax': scales}
+        tree = capture_activation_absmax(model, jnp.asarray(arr[None]))
+        absmax = merge_absmax(absmax, flatten_absmax(tree))
+    table = {'version': 2, 'net': name, 'size': list(size),
+             'act_absmax': absmax}
     with open(table_name, 'w') as f:
         json.dump(table, f)
     if verbose:
-        print(f'Wrote calibration table {table_name}')
+        print(f'Wrote calibration table {table_name} '
+              f'({len(absmax)} layers)')
     return table
 
 
@@ -228,6 +236,7 @@ class Engine:
         self.scale_table = scale_table
         self._variables = (jax.tree.map(np.asarray, variables)
                            if variables is not None else None)
+        self._device_variables = None    # device_put once, lazily
         self._fns = {}
 
     # --------------------------------------------------------------- props
@@ -303,6 +312,10 @@ class Engine:
         padded = np.zeros((target, th, tw, 3), np.float32)
         padded[:b, :images.shape[1], :images.shape[2]] = \
             images[:, :th, :tw]
-        out = self._fn(target)(self._variables, padded)
+        if self._device_variables is None:
+            # one-time weight upload — passing host numpy arrays would
+            # re-transfer every weight on every call
+            self._device_variables = jax.device_put(self._variables)
+        out = self._fn(target)(self._device_variables, padded)
         scores, boxes, classes = (np.asarray(o)[:b] for o in out)
         return scores, boxes, classes

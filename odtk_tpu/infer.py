@@ -53,10 +53,9 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
         if mixed_precision:
             model.set_dtype(jnp.bfloat16)
         mesh = make_mesh_for_batch(batch_size // max(1, world))
-        infer_fn = jax.jit(
-            model.inference_fn,
-            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh, 4)),
-            out_shardings=batch_sharding(mesh, 1))
+        # cached per (dtype, mesh): periodic validation reuses the
+        # compiled pipeline instead of re-tracing every val_iters
+        infer_fn = model.jitted_inference_fn(mesh)
         variables = model.variables
     else:
         mesh = None

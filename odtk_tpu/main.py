@@ -19,7 +19,7 @@ def parse(args):
     parser = argparse.ArgumentParser(
         description='ODTK-TPU: TPU-native Object Detection Toolkit.')
     parser.add_argument('--master', metavar='address:port', type=str,
-                        help='address and port of the multi-host coordinator',
+                        help='coordinator endpoint for multi-host runs',
                         default='127.0.0.1:29500')
     parser.add_argument('--num-hosts', metavar='n', type=int, default=1,
                         help='number of host processes (multi-host DP)')
@@ -34,85 +34,89 @@ def parse(args):
 
     parser_train = subparsers.add_parser('train', help='train a network')
     parser_train.add_argument('model', type=str,
-                              help='path to output model or checkpoint to resume from')
+                              help='checkpoint to write (resumes if it already exists)')
     parser_train.add_argument('--annotations', metavar='path', type=str,
-                              help='path to COCO style annotations', required=True)
+                              help='COCO-JSON annotation file for the training images', required=True)
     parser_train.add_argument('--images', metavar='path', type=str,
-                              help='path to images', default='.')
+                              help='directory containing the training images', default='.')
     parser_train.add_argument('--backbone', action='store', type=str, nargs='+',
-                              help='backbone model (or list of)',
+                              help='one or more backbone names from the registry',
                               default=['ResNet50FPN'])
     parser_train.add_argument('--classes', metavar='num', type=int,
-                              help='number of classes', default=80)
+                              help='object classes in the dataset', default=80)
     parser_train.add_argument('--batch', metavar='size', type=int,
-                              help='batch size', default=2 * devcount)
+                              help='global batch size across all chips', default=2 * devcount)
     parser_train.add_argument('--resize', metavar='scale', type=int,
-                              help='resize to given size', default=800)
+                              help='target shorter-side length in pixels', default=800)
     parser_train.add_argument('--max-size', metavar='max', type=int,
-                              help='maximum resizing size', default=1333)
+                              help='cap on the longer side after resizing', default=1333)
     parser_train.add_argument('--jitter', metavar='min max', type=int, nargs=2,
-                              help='jitter size within range', default=[640, 1024])
+                              help='randomize the shorter side within this range', default=[640, 1024])
     parser_train.add_argument('--iters', metavar='number', type=int,
-                              help='number of iterations to train for', default=90000)
+                              help='total optimizer steps', default=90000)
     parser_train.add_argument('--milestones', action='store', type=int, nargs='*',
-                              help='list of iteration indices where learning rate decays',
+                              help='steps at which the learning rate is multiplied by gamma',
                               default=[60000, 80000])
     parser_train.add_argument('--schedule', metavar='scale', type=float,
-                              help='scale schedule (affecting iters and milestones)',
+                              help='stretch/shrink factor applied to iters and milestones',
                               default=1)
-    parser_train.add_argument('--full-precision', help='train in full precision',
+    parser_train.add_argument('--full-precision', help='disable bf16 mixed precision',
                               action='store_true')
-    parser_train.add_argument('--lr', metavar='value', help='learning rate',
+    parser_train.add_argument('--lr', metavar='value', help='base SGD learning rate',
                               type=float, default=0.01)
     parser_train.add_argument('--warmup', metavar='iterations',
-                              help='numer of warmup iterations', type=int, default=1000)
+                              help='steps of linear learning-rate ramp-up', type=int, default=1000)
     parser_train.add_argument('--gamma', metavar='value', type=float,
-                              help='multiplicative factor of learning rate decay',
+                              help='learning-rate multiplier at each milestone',
                               default=0.1)
-    parser_train.add_argument('--override', help='override model', action='store_true')
+    parser_train.add_argument('--override', help='start fresh even if the checkpoint file exists', action='store_true')
     parser_train.add_argument('--val-annotations', metavar='path', type=str,
-                              help='path to COCO style validation annotations')
+                              help='COCO-JSON annotations for periodic validation')
     parser_train.add_argument('--val-images', metavar='path', type=str,
-                              help='path to validation images')
+                              help='directory with validation images')
     parser_train.add_argument('--post-metrics', metavar='url', type=str,
-                              help='post metrics to specified url')
+                              help='HTTP endpoint to push training metrics to')
     parser_train.add_argument('--fine-tune', metavar='path', type=str,
-                              help='fine tune a pretrained model')
+                              help='checkpoint to warm-start from (final head layers re-initialized)')
     parser_train.add_argument('--backbone-weights', metavar='path', type=str,
                               nargs='+', default=[],
                               help='torchvision-format .pth file(s) to '
                                    'initialize the backbone(s) from '
                                    '(ImageNet init without a download path)')
     parser_train.add_argument('--logdir', metavar='logdir', type=str,
-                              help='directory where to write logs')
+                              help='TensorBoard output directory')
     parser_train.add_argument('--val-iters', metavar='number', type=int,
-                              help='number of iterations between each validation',
+                              help='run validation every this many steps',
                               default=8000)
     parser_train.add_argument('--with-dali', help='(compat no-op: the fused '
                               'host loader is always on)', action='store_true')
     parser_train.add_argument('--augment-rotate',
-                              help='use four-fold rotational augmentation',
+                              help='randomly rotate images by multiples of 90 degrees',
+                              action='store_true')
+    parser_train.add_argument('--augment-crop',
+                              help='random IoU-constrained crops before '
+                                   'resizing (axis-aligned boxes only)',
                               action='store_true')
     parser_train.add_argument('--augment-brightness', metavar='value', type=float,
-                              help='adjust the brightness of the image.',
+                              help='stddev of the random brightness shift',
                               default=0.002)
     parser_train.add_argument('--augment-contrast', metavar='value', type=float,
-                              help='adjust the contrast of the image.',
+                              help='stddev of the random contrast factor',
                               default=0.002)
     parser_train.add_argument('--augment-hue', metavar='value', type=float,
-                              help='adjust the hue of the image.', default=0.0002)
+                              help='stddev of the random hue rotation', default=0.0002)
     parser_train.add_argument('--augment-saturation', metavar='value', type=float,
-                              help='adjust the saturation of the image.',
+                              help='stddev of the random saturation factor',
                               default=0.002)
     parser_train.add_argument('--regularization-l2', metavar='value', type=float,
-                              help='L2 regularization for optim', default=0.0001)
+                              help='weight decay coefficient', default=0.0001)
     parser_train.add_argument('--rotated-bbox', action='store_true',
-                              help='detect rotated bounding boxes [x, y, w, h, theta]')
+                              help='train with rotated boxes (x, y, w, h, theta)')
     parser_train.add_argument('--anchor-ious', metavar='value value', type=float,
-                              nargs=2, help='anchor/bbox overlap threshold',
+                              nargs=2, help='background / foreground IoU cutoffs for anchor assignment',
                               default=[0.4, 0.5])
     parser_train.add_argument('--absolute-angle', action='store_true',
-                              help='regress absolute angle (rather than -45 to 45 degrees.')
+                              help='use the full angle range instead of folding into [-45, 45] degrees')
     parser_train.add_argument('--max-det', metavar='num', type=int, default=128,
                               help='static per-image target capacity (TPU shapes)')
     parser_train.add_argument('--profile-dir', metavar='path', type=str,
@@ -120,74 +124,81 @@ def parse(args):
                                    'steady-state iterations to this directory')
 
     parser_infer = subparsers.add_parser('infer', help='run inference')
-    parser_infer.add_argument('model', type=str, help='path to model')
+    parser_infer.add_argument('model', type=str, help='checkpoint or engine file to run')
     parser_infer.add_argument('--images', metavar='path', type=str,
-                              help='path to images', default='.')
+                              help='directory of images to process', default='.')
     parser_infer.add_argument('--annotations', metavar='annotations', type=str,
-                              help='evaluate using provided annotations')
+                              help='COCO-JSON ground truth; enables mAP scoring')
     parser_infer.add_argument('--output', metavar='file', type=str, nargs='+',
-                              help='save detections to specified JSON file(s)',
+                              help='where to write the detection JSON output',
                               default=['detections.json'])
     parser_infer.add_argument('--batch', metavar='size', type=int,
-                              help='batch size', default=2 * devcount)
+                              help='images per forward pass', default=2 * devcount)
     parser_infer.add_argument('--resize', metavar='scale', type=int,
-                              help='resize to given size', default=800)
+                              help='target shorter-side length in pixels', default=800)
     parser_infer.add_argument('--max-size', metavar='max', type=int,
-                              help='maximum resizing size', default=1333)
+                              help='cap on the longer side after resizing', default=1333)
     parser_infer.add_argument('--with-dali', help='(compat no-op)',
                               action='store_true')
     parser_infer.add_argument('--full-precision',
-                              help='inference in full precision',
+                              help='disable bf16 mixed precision',
                               action='store_true')
     parser_infer.add_argument('--rotated-bbox', action='store_true',
-                              help='inference using a rotated bounding box model')
+                              help='model predicts rotated boxes')
 
     parser_export = subparsers.add_parser(
         'export', help='export a model into an AOT TPU engine')
-    parser_export.add_argument('model', type=str, help='path to model')
+    parser_export.add_argument('model', type=str, help='checkpoint to export')
     parser_export.add_argument('export', type=str,
                                help='path to exported output '
                                     '(.engine package or .stablehlo)')
     parser_export.add_argument('--size', metavar='height width', type=int,
                                nargs='+', default=[1280],
-                               help='input size (square) or sizes (h w) '
-                                    'to use when generating engine')
+                               help='fixed engine input: one value for square, or height width')
     parser_export.add_argument('--full-precision',
-                               help='export in full instead of half precision',
+                               help='keep fp32 compute instead of bf16',
                                action='store_true')
     parser_export.add_argument('--int8', action='store_true',
-                               help='calibrate model and export in int8 precision')
+                               help='run INT8 calibration and emit an int8 engine')
     parser_export.add_argument('--calibration-batches', metavar='size', type=int,
-                               help='number of batches to use for int8 calibration',
+                               help='how many calibration batches to sample',
                                default=2)
     parser_export.add_argument('--calibration-images', metavar='path', type=str,
-                               help='path to calibration images', default='')
+                               help='directory of images for INT8 calibration', default='')
     parser_export.add_argument('--calibration-table', metavar='path', type=str,
-                               help='path of existing calibration table to '
-                                    'load from, or name of new calibration table',
+                               help='calibration table to reuse (or filename to create)',
                                default='')
-    parser_export.add_argument('--verbose', help='enable verbose logging',
+    parser_export.add_argument('--verbose', help='print export progress',
                                action='store_true')
     parser_export.add_argument('--rotated-bbox', action='store_true',
-                               help='export using a rotated bounding box model')
+                               help='model predicts rotated boxes')
     parser_export.add_argument('--dynamic-batch-opts', metavar='value value value',
                                type=int, nargs=3, default=[1, 8, 16],
-                               help='batch-size profiles to compile (min, opt, max)')
+                               help='compile these batch-size profiles (min, opt, max)')
 
     return parser.parse_args(args)
 
 
+CHECKPOINT_EXTS = ('.pth', '.torch', '.ckpt')
+ENGINE_EXTS = ('.engine', '.plan')
+
+
 def load_model(args, verbose=False):
+    """Resolve args.model into a (Model | None, resume-state) pair.
+
+    Three outcomes:
+      * fresh Model — `train` with no existing checkpoint (or --override);
+      * checkpoint restore — any command pointed at a checkpoint file;
+      * None — `infer` on an engine package (the caller constructs the
+        Engine itself so export/infer share one loading path).
+    """
     from .model import Model
-    if args.command != 'train' and not os.path.isfile(args.model):
-        raise RuntimeError('Model file {} does not exist!'.format(args.model))
 
-    model = None
-    state = {}
-    _, ext = os.path.splitext(args.model)
+    ext = os.path.splitext(args.model)[1]
+    starting_fresh = args.command == 'train' and (
+        args.override or not os.path.exists(args.model))
 
-    if args.command == 'train' and (not os.path.exists(args.model)
-                                    or args.override):
+    if starting_fresh:
         if verbose:
             print('Initializing model...')
         model = Model(backbones=args.backbone, classes=args.classes,
@@ -195,31 +206,46 @@ def load_model(args, verbose=False):
                       anchor_ious=args.anchor_ious)
         model.initialize(rng=random.randint(0, 2 ** 31 - 1),
                          fine_tune=args.fine_tune)
-        for bb, w in zip(args.backbone, getattr(args, 'backbone_weights', [])):
+        if args.backbone_weights:
             from .io.torch_import import load_backbone_weights
-            print('Loading {} weights from {}...'.format(bb, w))
-            load_backbone_weights(model, bb, w)
-        if verbose:
-            print(model)
-
-    elif ext in ('.pth', '.torch', '.ckpt'):
-        if verbose:
-            print('Loading model from {}...'.format(
-                os.path.basename(args.model)))
-        model, state = Model.load(
-            filename=args.model,
-            rotated_bbox=getattr(args, 'rotated_bbox', False))
-        if verbose:
-            print(model)
-
-    elif args.command == 'infer' and ext in ('.engine', '.plan'):
-        model = None
-
+            for bb, w in zip(args.backbone, args.backbone_weights):
+                print('Loading {} weights from {}...'.format(bb, w))
+                load_backbone_weights(model, bb, w)
+        state = {}
     else:
-        raise RuntimeError('Invalid model format "{}"!'.format(ext))
+        if not os.path.isfile(args.model):
+            raise RuntimeError(
+                'Model file {} does not exist!'.format(args.model))
+        if ext in CHECKPOINT_EXTS:
+            if verbose:
+                print('Loading model from {}...'.format(
+                    os.path.basename(args.model)))
+            model, state = Model.load(
+                filename=args.model,
+                rotated_bbox=getattr(args, 'rotated_bbox', False))
+        elif args.command == 'infer' and ext in ENGINE_EXTS:
+            model, state = None, {}
+        else:
+            raise RuntimeError('Invalid model format "{}"!'.format(ext))
 
+    if verbose and model is not None:
+        print(model)
     state['path'] = args.model
     return model, state
+
+
+def _find_calibration_images(directory, want, minimum):
+    """Sample `want` JPEG/PNG files from a directory for INT8
+    calibration; error below `minimum` (can't fill one opt batch)."""
+    found = sorted(
+        os.path.join(directory, f) for f in os.listdir(directory)
+        if f.lower().endswith(('.jpg', '.jpeg', '.png')))
+    if len(found) < minimum:
+        raise RuntimeError(
+            'Not enough images found for calibration. ({} < {})'.format(
+                len(found), minimum))
+    random.shuffle(found)
+    return found[:want]
 
 
 def run(args, model, state):
@@ -240,6 +266,7 @@ def run(args, model, state):
             args.gamma, mixed_precision=not args.full_precision,
             metrics_url=args.post_metrics, logdir=args.logdir, verbose=True,
             rotate_augment=args.augment_rotate,
+            crop_augment=args.augment_crop,
             augment_brightness=args.augment_brightness,
             augment_contrast=args.augment_contrast,
             augment_hue=args.augment_hue,
@@ -265,22 +292,11 @@ def run(args, model, state):
         input_size = args.size * 2 if len(args.size) == 1 else args.size
 
         calibration_files = []
-        if args.int8:
-            if os.path.isdir(args.calibration_images):
-                import glob
-                exts = ['.jpg', '.JPG', '.jpeg', '.JPEG', '.png', '.PNG']
-                for ex in exts:
-                    calibration_files += glob.glob(
-                        '{}/*{}'.format(args.calibration_images, ex))
-                need = args.calibration_batches * args.dynamic_batch_opts[1]
-                if len(calibration_files) >= need:
-                    calibration_files = calibration_files[:need]
-                elif len(calibration_files) < args.dynamic_batch_opts[1]:
-                    raise RuntimeError(
-                        'Not enough images found for calibration. ({} < {})'
-                        .format(len(calibration_files),
-                                args.dynamic_batch_opts[1]))
-                random.shuffle(calibration_files)
+        if args.int8 and os.path.isdir(args.calibration_images):
+            calibration_files = _find_calibration_images(
+                args.calibration_images,
+                want=args.calibration_batches * args.dynamic_batch_opts[1],
+                minimum=args.dynamic_batch_opts[1])
 
         precision = 'FP32' if args.full_precision else 'FP16'
         if args.int8:

@@ -23,6 +23,7 @@ from flax import linen as nn
 from flax.core import unfreeze
 
 from . import backbones as backbones_mod
+from .backbones.layers import QuantConv
 from .ops import (decode, nms, nms_rotated, focal_loss, smooth_l1_loss,
                   snap_to_anchors, snap_to_anchors_rotated,
                   generate_anchors, generate_anchors_rotated)
@@ -52,15 +53,18 @@ class RetinaNet(nn.Module):
         prior = nn.initializers.constant(-math.log((1 - pi) / pi))
 
         def head_convs(prefix, out_size, final_bias):
-            convs = [nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)],
-                             dtype=self.dtype, param_dtype=jnp.float32,
-                             kernel_init=normal01,
-                             bias_init=nn.initializers.zeros,
-                             name=f'{prefix}_{i * 2}') for i in range(4)]
-            convs.append(nn.Conv(out_size, (3, 3), padding=[(1, 1), (1, 1)],
-                                 dtype=self.dtype, param_dtype=jnp.float32,
-                                 kernel_init=normal01, bias_init=final_bias,
-                                 name=f'{prefix}_8'))
+            convs = [QuantConv(256, (3, 3), padding=[(1, 1), (1, 1)],
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               kernel_init=normal01,
+                               bias_init=nn.initializers.zeros,
+                               name=f'{prefix}_{i * 2}') for i in range(4)]
+            convs.append(QuantConv(out_size, (3, 3),
+                                   padding=[(1, 1), (1, 1)],
+                                   dtype=self.dtype,
+                                   param_dtype=jnp.float32,
+                                   kernel_init=normal01,
+                                   bias_init=final_bias,
+                                   name=f'{prefix}_8'))
             return convs
 
         self.cls_convs = head_convs('cls_head', self.classes * self.num_anchors,
@@ -129,6 +133,7 @@ class Model:
             num_anchors=self.num_anchors, box_size=self.box_size,
             rotated=rotated_bbox, dtype=dtype)
         self._anchors = {}
+        self._jitted = {}            # (dtype, mesh key) -> compiled infer fn
         self.variables = None        # {'params': ..., 'frozen': ...}
 
     def __repr__(self):
@@ -271,6 +276,28 @@ class Model:
         cls_heads, box_heads = self.module.apply(variables, images)
         return ([jax.nn.sigmoid(c.astype(jnp.float32)) for c in cls_heads],
                 [b.astype(jnp.float32) for b in box_heads])
+
+    def jitted_inference_fn(self, mesh=None):
+        """inference_fn jitted once per (dtype, mesh) and cached.
+
+        Periodic validation inside training calls infer() every
+        val_iters; without this cache each call would re-trace the
+        whole pipeline (jax.jit caches keyed on the function OBJECT,
+        and a fresh jit wrapper never hits it).
+        """
+        from .parallel import batch_sharding, replicated_sharding
+        key = (self.dtype,
+               tuple(d.id for d in mesh.devices.flat) if mesh else None)
+        if key not in self._jitted:
+            if mesh is None:
+                self._jitted[key] = jax.jit(self.inference_fn)
+            else:
+                self._jitted[key] = jax.jit(
+                    self.inference_fn,
+                    in_shardings=(replicated_sharding(mesh),
+                                  batch_sharding(mesh, 4)),
+                    out_shardings=batch_sharding(mesh, 1))
+        return self._jitted[key]
 
     # ------------------------------------------------------------ checkpoint
     def save(self, state):

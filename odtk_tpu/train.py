@@ -91,7 +91,8 @@ def train(model, state, path, annotations, val_path, val_annotations,
           resize, max_size, jitter, batch_size, iterations, val_iterations,
           lr, warmup, milestones, gamma, is_master=True, world=1,
           mixed_precision=True, verbose=True, metrics_url=None, logdir=None,
-          rotate_augment=False, augment_brightness=0.0, augment_contrast=0.0,
+          rotate_augment=False, crop_augment=False,
+          augment_brightness=0.0, augment_contrast=0.0,
           augment_hue=0.0, augment_saturation=0.0, regularization_l2=0.0001,
           rotated_bbox=False, absolute_angle=False, max_det=128,
           use_dali=False, profile_dir=None, sync_every=8):
@@ -121,6 +122,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
     data_iterator = iterator_cls(
         path, jitter, max_size, batch_size, stride, world, annotations,
         training=True, rotate_augment=rotate_augment,
+        crop_augment=crop_augment,
         augment_brightness=augment_brightness,
         augment_contrast=augment_contrast, augment_hue=augment_hue,
         augment_saturation=augment_saturation, max_det=max_det, rank=rank,

@@ -12,7 +12,6 @@ import signal
 import time
 import warnings
 from contextlib import contextmanager
-from datetime import datetime
 
 import numpy as np
 
@@ -34,27 +33,43 @@ def rotate_box(bbox):
     return corners.reshape(-1).tolist()
 
 
-def show_detections(detections):
-    """Draw detections over their images (odtk/utils.py:104-121)."""
+# 12 visually distinct class colors (cycled by class id)
+_PALETTE = [(230, 60, 60), (60, 200, 60), (70, 110, 245), (245, 200, 40),
+            (200, 60, 230), (40, 220, 220), (250, 140, 30), (140, 230, 60),
+            (240, 80, 160), (90, 220, 160), (160, 120, 250), (220, 220, 90)]
+
+
+def show_detections(detections, min_score=0.0, save_to=None):
+    """Render detection boxes onto their source images.
+
+    ``detections`` maps image path -> list of {'bbox': xywh, 'class',
+    'score'} dicts. Boxes are colored per class and labeled
+    ``class score``; confident detections draw thicker outlines. Pass
+    ``save_to`` (directory) to write annotated copies instead of
+    opening a viewer.
+    """
     from PIL import Image, ImageDraw
-    for image, dets in detections.items():
-        im = Image.open(image).convert('RGBA')
-        overlay = Image.new('RGBA', im.size, (255, 255, 255, 0))
-        draw = ImageDraw.Draw(overlay)
+    for path, dets in detections.items():
+        im = Image.open(path).convert('RGB')
+        draw = ImageDraw.Draw(im)
         for det in sorted(dets, key=lambda d: d['score']):
-            box = det['bbox']
-            alpha = int(det['score'] * 255)
-            draw.rectangle([box[0], box[1], box[0] + box[2], box[1] + box[3]],
-                           outline=(255, 255, 255, alpha))
-            draw.text((box[0] + 2, box[1]),
-                      '[{}]'.format(det['class']), fill=(255, 255, 255, alpha))
-            draw.text((box[0] + 2, box[1] + 10),
-                      '{:.2}'.format(det['score']),
-                      fill=(255, 255, 255, alpha))
-        Image.alpha_composite(im, overlay).show()
+            score = det['score']
+            if score < min_score:
+                continue
+            x, y, w, h = det['bbox'][:4]
+            color = _PALETTE[int(det['class']) % len(_PALETTE)]
+            draw.rectangle([x, y, x + w, y + h], outline=color,
+                           width=2 if score > 0.5 else 1)
+            draw.text((x + 3, y + 1),
+                      '{} {:.2f}'.format(det['class'], score), fill=color)
+        if save_to:
+            im.save(os.path.join(save_to, os.path.basename(path)))
+        else:
+            im.show()
 
 
 def save_detections(path, detections):
+    """Dump a detections structure as JSON."""
     print('Writing detections to {}...'.format(os.path.basename(path)))
     with open(path, 'w') as f:
         json.dump(detections, f)
@@ -70,40 +85,71 @@ def ignore_sigint():
         signal.signal(signal.SIGINT, handler)
 
 
+class _Lap:
+    """One named stopwatch: accumulated seconds + completed laps."""
+
+    __slots__ = ('mark', 'total', 'laps')
+
+    def __init__(self):
+        self.mark = time.perf_counter()
+        self.total = 0.0
+        self.laps = 0
+
+
 class Profiler:
-    """Named wall-clock accumulators with running means."""
+    """A set of named wall-clock stopwatches (monotonic clock).
+
+    ``start``/``stop`` bracket a lap; ``bump`` closes the current lap
+    and immediately opens the next (per-iteration cadence timing).
+    ``totals`` and ``means`` expose accumulated seconds and per-lap
+    averages as dict views for status lines.
+    """
 
     def __init__(self, names=('main',)):
-        self.names = list(names)
-        self.reset()
+        self._laps = {n: _Lap() for n in names}
 
     def reset(self):
-        now = time.time()
-        self.lasts = {k: now for k in self.names}
-        self.totals = {k: 0.0 for k in self.names}
-        self.counts = {k: 0 for k in self.names}
-        self.means = {k: 0.0 for k in self.names}
+        for lap in self._laps.values():
+            lap.__init__()
 
     def start(self, name='main'):
-        self.lasts[name] = time.time()
+        self._laps[name].mark = time.perf_counter()
 
     def stop(self, name='main'):
-        self.totals[name] += time.time() - self.lasts[name]
-        self.counts[name] += 1
-        self.means[name] = self.totals[name] / self.counts[name]
+        lap = self._laps[name]
+        lap.total += time.perf_counter() - lap.mark
+        lap.laps += 1
 
     def bump(self, name='main'):
         self.stop(name)
         self.start(name)
 
+    @property
+    def totals(self):
+        return {n: lap.total for n, lap in self._laps.items()}
+
+    @property
+    def counts(self):
+        return {n: lap.laps for n, lap in self._laps.items()}
+
+    @property
+    def means(self):
+        return {n: lap.total / lap.laps if lap.laps else 0.0
+                for n, lap in self._laps.items()}
+
 
 def post_metrics(url, metrics):
-    """POST metric key/values with ns timestamps; warn on failure."""
+    """Push metric key/value pairs to an HTTP collector.
+
+    Each metric posts as form data with a nanosecond timestamp taken
+    once for the whole batch. Failures (collector down, no route) are
+    reduced to a warning — metrics must never take down training.
+    """
+    stamp = int(time.time() * 1e9)
     try:
         import requests
-        for k, v in metrics.items():
-            requests.post(url, data={
-                'time': int(datetime.now().timestamp() * 1e9),
-                'metric': k, 'value': v})
-    except Exception as e:  # noqa: BLE001 — metrics must never kill training
-        warnings.warn('Warning: posting metrics failed: {}'.format(e))
+        for name, value in metrics.items():
+            requests.post(url, data={'time': stamp, 'metric': name,
+                                     'value': value})
+    except Exception as e:  # noqa: BLE001
+        warnings.warn('posting metrics to {} failed: {}'.format(url, e))

@@ -121,3 +121,38 @@ def test_loader_dataset_smaller_than_batch(dataset_dir):
     assert len(batches) == 1
     data, targets = batches[0]
     assert data.shape[0] == 8 and targets.shape[0] == 8
+
+
+def test_crop_augment(dataset_dir):
+    import random as pyrandom
+    from odtk_tpu.data.coco import CocoDataset
+    img_dir, ann = dataset_dir
+    ds = CocoDataset(img_dir, resize=96, max_size=192, stride=32,
+                     annotations=ann, training=True, crop_augment=True)
+    pyrandom.seed(3)
+    saw_crop = False
+    for _ in range(20):
+        arr, target = ds[0]
+        assert arr.ndim == 3 and arr.shape[0] % 32 == 0
+        valid = target[target[:, 4] > -1]
+        # surviving boxes must lie inside the (resized, padded) canvas
+        if len(valid):
+            assert (valid[:, 0] >= -1e-3).all()
+            assert (valid[:, 1] >= -1e-3).all()
+            assert (valid[:, 2] > 0).all() and (valid[:, 3] > 0).all()
+            assert (valid[:, 0] + valid[:, 2]
+                    <= arr.shape[1] + 1e-3).all()
+            assert (valid[:, 1] + valid[:, 3]
+                    <= arr.shape[0] + 1e-3).all()
+        saw_crop = True
+    assert saw_crop
+
+
+def test_crop_augment_rejected_for_rotated(dataset_dir):
+    import pytest
+    from odtk_tpu.data.coco import RotatedCocoDataset
+    img_dir, ann = dataset_dir
+    with pytest.raises(ValueError):
+        RotatedCocoDataset(img_dir, resize=96, max_size=192, stride=32,
+                           annotations=ann, training=True,
+                           crop_augment=True)

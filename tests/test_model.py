@@ -96,3 +96,20 @@ def test_rotated_model_shapes():
     assert box_heads[0].shape[-1] == 27 * 6
     s, b, c = m.inference_fn(m.variables, x)
     assert b.shape[-1] == 6
+
+
+def test_jitted_inference_fn_cached():
+    """Periodic validation must reuse the compiled pipeline: same
+    (dtype, mesh) -> the SAME jitted callable (VERDICT r1 #7)."""
+    import jax
+    from odtk_tpu.parallel import make_mesh
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    mesh = make_mesh(jax.devices()[:2])
+    assert m.jitted_inference_fn(mesh) is m.jitted_inference_fn(mesh)
+    assert m.jitted_inference_fn() is m.jitted_inference_fn()
+    # dtype switch creates a distinct entry (different compiled module)
+    import jax.numpy as jnp
+    m.set_dtype(jnp.bfloat16)
+    assert m.jitted_inference_fn(mesh) is m.jitted_inference_fn(mesh)
+    assert len(m._jitted) == 3
