@@ -317,6 +317,15 @@ def run(args, model, state):
 
 def main(args=None):
     'Entry point for the odtk-tpu command'
+    # ODTK_PLATFORM=cpu|tpu forces the JAX backend. Needed because some
+    # managed environments pre-register an accelerator at interpreter
+    # start (sitecustomize), where setting JAX_PLATFORMS in the shell is
+    # already too late — jax.config still works before first device use.
+    platform = os.environ.get('ODTK_PLATFORM')
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
+
     args = parse(args or sys.argv[1:])
 
     from .parallel import init_distributed

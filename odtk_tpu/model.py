@@ -26,6 +26,7 @@ from . import backbones as backbones_mod
 from .backbones.layers import QuantConv
 from .ops import (decode, nms, nms_rotated, focal_loss, smooth_l1_loss,
                   snap_to_anchors, snap_to_anchors_rotated,
+                  snap_to_anchors_rotated_batched,
                   generate_anchors, generate_anchors_rotated)
 
 
@@ -211,8 +212,6 @@ class Model:
         far worse than the dense one-hot multiply XLA can fuse.
         """
         cls_heads, box_heads = self.module.apply(variables, images)
-        snap = (snap_to_anchors_rotated if self.rotated_bbox
-                else snap_to_anchors)
 
         cls_losses, box_losses, fg_counts = [], [], []
         for cls_head, box_head in zip(cls_heads, box_heads):
@@ -221,14 +220,28 @@ class Model:
             size_px = (w * stride, h * stride)
             table = self.anchors(stride)
 
-            cls_t, box_t, depth = jax.vmap(partial(
-                snap, size=size_px, stride=stride, anchor_table=table,
-                num_classes=self.classes,
-                anchor_ious=self.anchor_ious))(targets.astype(jnp.float32))
+            # flat=True: targets come back [B, H*W*A, K|nb|1] — the same
+            # memory order as the NHWC heads reshaped below (channels
+            # are anchor-major), so no physical transposes are needed
+            # between assignment and loss (~4 ms/step saved at 832 px)
+            if self.rotated_bbox:
+                # batched form: real lax.cond skipping of padding slots
+                # and out-of-band targets (vmap would select-ify it)
+                cls_t, box_t, depth = snap_to_anchors_rotated_batched(
+                    targets.astype(jnp.float32), size=size_px,
+                    stride=stride, anchor_table=table,
+                    num_classes=self.classes, anchor_ious=self.anchor_ious,
+                    flat=True)
+            else:
+                cls_t, box_t, depth = jax.vmap(partial(
+                    snap_to_anchors, size=size_px, stride=stride,
+                    anchor_table=table, num_classes=self.classes,
+                    anchor_ious=self.anchor_ious, flat=True))(
+                        targets.astype(jnp.float32))
 
             b = cls_head.shape[0]
-            cls_p = cls_head.reshape(b, h, w, self.num_anchors, self.classes)
-            box_p = box_head.reshape(b, h, w, self.num_anchors, self.box_size)
+            cls_p = cls_head.reshape(b, -1, self.classes)
+            box_p = box_head.reshape(b, -1, self.box_size)
 
             fg = depth > 0
             fg_counts.append(jnp.maximum(fg.sum(), 1).astype(jnp.float32))

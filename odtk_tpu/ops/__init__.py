@@ -10,7 +10,8 @@ mirroring how the reference keeps dual CPU/CUDA implementations
 from .anchors import generate_anchors, generate_anchors_rotated
 from .boxes import (box2delta, box2delta_rotated, delta2box,
                     delta2box_rotated, order_points, rotate_boxes)
-from .assign import snap_to_anchors, snap_to_anchors_rotated
+from .assign import (snap_to_anchors, snap_to_anchors_rotated,
+                     snap_to_anchors_rotated_batched)
 from .decode import decode
 from .nms import nms, nms_rotated
 from .iou_rotated import polygon_iou, rotated_pair_iou
@@ -21,6 +22,7 @@ __all__ = [
     'box2delta', 'box2delta_rotated', 'delta2box', 'delta2box_rotated',
     'order_points', 'rotate_boxes',
     'snap_to_anchors', 'snap_to_anchors_rotated',
+    'snap_to_anchors_rotated_batched',
     'decode', 'nms', 'nms_rotated',
     'polygon_iou', 'rotated_pair_iou',
     'focal_loss', 'smooth_l1_loss',

@@ -29,7 +29,7 @@ Loss-equivalent, simpler.
 import jax.numpy as jnp
 
 from .boxes import box2delta, box2delta_rotated, rotate_boxes
-from .iou_rotated import rotated_best_match
+from .iou_rotated import rotated_best_match, rotated_best_match_batched
 
 
 def _cell_xy(width, height, stride, dtype):
@@ -52,11 +52,21 @@ def _axis_iou(anchors, boxes):
 
 def _one_hot(idx, num_classes):
     idx = idx.astype(jnp.int32)
-    return (idx[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
+    return (idx[..., None]
+            == jnp.arange(num_classes)).astype(jnp.float32)
 
 
 def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
-              height, width, num_anchors, one_hot_cls):
+              height, width, num_anchors, one_hot_cls, flat=False):
+    """Depth/cls/box maps from best matches. Accepts [..., N] inputs
+    (optional leading batch dims); the anchor axis unflattens to
+    (H, W, A) — unless ``flat=True``, which keeps the (H*W*A)-flat
+    anchor axis. The flat form matches the memory order of an NHWC
+    head reshaped [B, H, W, A*K] -> [B, H*W*A, K] (channels are
+    anchor-major), so the loss can consume it with zero layout copies
+    (the [H, W, A, K] form costs ~4 ms/step of physical transposes at
+    832 px on v5e)."""
+    lead = best_iou.shape[:-1]
     lo, hi = anchor_ious
     depth = jnp.full_like(best_iou, -1.0)
     depth = jnp.where(best_iou < lo, 0.0, depth)
@@ -64,24 +74,29 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
 
     if one_hot_cls:
         fg = (best_iou >= hi).astype(jnp.float32)
-        cls_target = _one_hot(best_cls, num_classes) * fg[:, None]
-        cls_target = cls_target.reshape(height, width, num_anchors,
-                                        num_classes)
+        cls_target = _one_hot(best_cls, num_classes) * fg[..., None]
     else:
         # index form: the dense one-hot [*, K] never materializes — the
         # fused focal loss in Model.loss_fn gathers the fg-class logit
         # instead (big bandwidth win at K=80 with ~100k anchors)
         cls_target = jnp.clip(best_cls, 0, num_classes - 1).astype(
-            jnp.int32).reshape(height, width, num_anchors)
+            jnp.int32)
 
+    if flat:
+        return cls_target, deltas, depth
+    grid = (height, width, num_anchors)
+    if one_hot_cls:
+        cls_target = cls_target.reshape(*lead, *grid, num_classes)
+    else:
+        cls_target = cls_target.reshape(*lead, *grid)
     nb = deltas.shape[-1]
     return (cls_target,
-            deltas.reshape(height, width, num_anchors, nb),
-            depth.reshape(height, width, num_anchors))
+            deltas.reshape(*lead, *grid, nb),
+            depth.reshape(*lead, *grid))
 
 
 def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
-                    anchor_ious=(0.4, 0.5), one_hot_cls=True):
+                    anchor_ious=(0.4, 0.5), one_hot_cls=True, flat=False):
     """Assign padded targets [max_det, 5] to anchors of one FPN level.
 
     size: (width, height) of the level in pixels (cells * stride).
@@ -105,16 +120,25 @@ def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
                + table).reshape(-1, 4)
 
     overlap = jnp.where(valid[None, :], _axis_iou(anchors, boxes), -1.0)
-    best = jnp.argmax(overlap, axis=1)
-    best_iou = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
-    deltas = box2delta(boxes[best], anchors)
-    return _finalize(best_iou, classes[best], deltas, num_classes,
-                     anchor_ious, height, width, num_anchors, one_hot_cls)
+    # argmax + take_along_axis + boxes[best] lower to batched-gather
+    # custom calls that cost ~20 ms/step at N~100k under vmap (profiled
+    # on v5e); a first-max one-hot contracted over the tiny M axis is
+    # the same result as pure elementwise + matmul. The cumsum keeps
+    # argmax's first-hit tie-break.
+    best_iou = jnp.max(overlap, axis=1)
+    is_max = overlap == best_iou[:, None]
+    onehot = (is_max & (jnp.cumsum(is_max, axis=1) == 1)).astype(
+        overlap.dtype)                                          # [N, M]
+    best_cls = onehot @ classes
+    deltas = box2delta(onehot @ boxes, anchors)
+    return _finalize(best_iou, best_cls, deltas, num_classes,
+                     anchor_ious, height, width, num_anchors, one_hot_cls,
+                     flat)
 
 
 def snap_to_anchors_rotated(targets, size, stride, anchor_table,
                             num_classes, anchor_ious=(0.4, 0.5),
-                            one_hot_cls=True):
+                            one_hot_cls=True, flat=False):
     """Rotated assignment: targets [max_det, 6] = (x, y, w, h, theta, cls).
 
     anchor_table: (axis [A,4], corners [A,8]) pair from
@@ -145,6 +169,54 @@ def snap_to_anchors_rotated(targets, size, stride, anchor_table,
     anchors_rot = (cell4[:, :, None, :] + table_rot).reshape(-1, 8)
 
     best_iou, best = rotated_best_match(anchors_rot, boxes_rot, valid)
-    deltas = box2delta_rotated(boxes_axis[best], anchors_axis)
-    return _finalize(best_iou, classes[best], deltas, num_classes,
-                     anchor_ious, height, width, num_anchors, one_hot_cls)
+    # one-hot contraction instead of boxes_axis[best]/classes[best]
+    # gathers (same gather-lowering cost story as snap_to_anchors)
+    onehot = (best[:, None] == jnp.arange(boxes_rot.shape[0])).astype(
+        jnp.float32)
+    deltas = box2delta_rotated(onehot @ boxes_axis, anchors_axis)
+    return _finalize(best_iou, onehot @ classes, deltas, num_classes,
+                     anchor_ious, height, width, num_anchors, one_hot_cls,
+                     flat)
+
+
+def snap_to_anchors_rotated_batched(targets, size, stride, anchor_table,
+                                    num_classes, anchor_ious=(0.4, 0.5),
+                                    one_hot_cls=True, flat=False):
+    """Batched rotated assignment: targets [B, max_det, 6].
+
+    Numerically identical to ``vmap(snap_to_anchors_rotated)`` but keeps
+    the batch axis explicit so the streaming best-match can *actually
+    skip* padding slots and out-of-size-band targets with ``lax.cond``
+    (vmap would lower the cond to a both-branches select) — see
+    rotated_best_match_batched. This is the form the train step uses;
+    the unbatched variant remains the reference/parity twin.
+    """
+    table_axis, table_rot = anchor_table
+    table_axis = jnp.asarray(table_axis, targets.dtype)
+    table_rot = jnp.asarray(table_rot, targets.dtype)
+    width = int(size[0]) // int(stride)
+    height = int(size[1]) // int(stride)
+    num_anchors = table_axis.shape[0]
+
+    classes = targets[..., 5]                                # [B, M]
+    valid = classes > -1
+    safe = jnp.concatenate(
+        [targets[..., 0:2], jnp.maximum(targets[..., 2:4], 1e-4),
+         targets[..., 4:5]], axis=-1)
+    boxes_axis, boxes_rot = rotate_boxes(safe)               # [B,M,6],[B,M,8]
+
+    cell = _cell_xy(width, height, stride, targets.dtype)    # [H,W,2]
+    anchors_axis = (jnp.concatenate([cell, cell], -1)[:, :, None, :]
+                    + table_axis).reshape(-1, 4)
+    cell4 = jnp.concatenate([cell] * 4, axis=-1)             # [H,W,8]
+    anchors_rot = (cell4[:, :, None, :] + table_rot).reshape(-1, 8)
+
+    payload = jnp.concatenate([boxes_axis, classes[..., None]], -1)
+    best_iou, best_pay = rotated_best_match_batched(
+        anchors_rot, boxes_rot, valid, skip_ratio=anchor_ious[0],
+        payload=payload)
+    best_boxes, best_cls = best_pay[..., :6], best_pay[..., 6]
+    deltas = box2delta_rotated(best_boxes, anchors_axis)
+    return _finalize(best_iou, best_cls, deltas, num_classes,
+                     anchor_ious, height, width, num_anchors, one_hot_cls,
+                     flat)

@@ -1,11 +1,12 @@
 """Target-assignment (snap_to_anchors) tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from odtk_tpu.ops import (generate_anchors, generate_anchors_rotated,
                           snap_to_anchors, snap_to_anchors_rotated,
-                          box2delta)
+                          snap_to_anchors_rotated_batched, box2delta)
 
 STRIDE = 8
 SIZE = (64, 64)  # pixels (W, H) -> 8x8 cells
@@ -118,6 +119,42 @@ def test_rotated_assignment_runs_and_bands():
     bt = np.asarray(box)[h, w, a]
     np.testing.assert_allclose(bt[4], 0.0, atol=1e-5)
     np.testing.assert_allclose(bt[5], 1.0, atol=1e-5)
+
+
+def test_rotated_batched_matches_vmapped():
+    """The cond-skipping batched assignment must agree with
+    vmap(snap_to_anchors_rotated) on everything the loss consumes:
+    depth and cls everywhere, box deltas wherever depth > 0 (for
+    background anchors the skipped path may pick a different —
+    equally sub-threshold — best box, which the loss masks out)."""
+    rng = np.random.RandomState(7)
+    tables = generate_anchors_rotated(STRIDE, [1.0, 2.0], [4.0, 5.0],
+                                      [-np.pi / 6, 0.0, np.pi / 6])
+    batch = []
+    for b in range(3):
+        rows = []
+        for _ in range(rng.randint(0, 5)):
+            x, y = rng.uniform(0, 40, 2)
+            w, h = rng.uniform(6, 40, 2)
+            th = rng.uniform(-0.6, 0.6)
+            rows.append([x, y, w, h, th, float(rng.randint(0, 3))])
+        batch.append(np.array(pad_targets(rows, width=6)))
+    # extremes: an out-of-band giant target and an exact anchor match
+    batch[0][3] = [0, 0, 3000, 3000, 0.1, 2.0]
+    batch = jnp.asarray(np.stack(batch))
+
+    kw = dict(size=SIZE, stride=STRIDE, anchor_table=tables,
+              num_classes=3, anchor_ious=(0.4, 0.5))
+    want = jax.vmap(lambda t: snap_to_anchors_rotated(t, **kw))(batch)
+    got = snap_to_anchors_rotated_batched(batch, **kw)
+
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               atol=1e-5)                    # depth
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-5)                    # cls one-hot
+    fg = np.asarray(want[2]) > 0
+    np.testing.assert_allclose(np.asarray(got[1])[fg],
+                               np.asarray(want[1])[fg], atol=1e-4)
 
 
 def test_empty_rotated_targets():
