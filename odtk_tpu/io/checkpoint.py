@@ -141,8 +141,18 @@ def load(filename, rotated_bbox=False, dtype=None):
 
 
 def restore_opt_state(blob, template):
-    """Deserialize an optimizer-state blob against an optax template."""
+    """Deserialize an optimizer-state blob against an optax template.
+
+    A structure mismatch (e.g. a checkpoint written by a different
+    optimizer form) falls back to the fresh template with a warning —
+    resuming with reset momentum beats refusing to resume at all."""
     if blob is None:
         return template
     restored = serialization.msgpack_restore(bytes(blob))
-    return serialization.from_state_dict(template, restored)
+    try:
+        return serialization.from_state_dict(template, restored)
+    except (ValueError, KeyError) as e:  # incompatible optimizer layout
+        import warnings
+        warnings.warn('optimizer state in checkpoint does not match the '
+                      f'current optimizer ({e}); starting it fresh')
+        return template

@@ -28,6 +28,14 @@ from .ops import (decode, nms, nms_rotated, focal_loss, smooth_l1_loss,
                   snap_to_anchors, snap_to_anchors_rotated,
                   snap_to_anchors_rotated_batched,
                   generate_anchors, generate_anchors_rotated)
+from .ops.pallas import focal_sum_fused
+
+
+def _tpu_backend():
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except RuntimeError:
+        return False
 
 
 class RetinaNet(nn.Module):
@@ -135,6 +143,7 @@ class Model:
             rotated=rotated_bbox, dtype=dtype)
         self._anchors = {}
         self._jitted = {}            # (dtype, mesh key) -> compiled infer fn
+        self._loss_mesh = None       # >1-device mesh for the fused focal op
         self.variables = None        # {'params': ..., 'frozen': ...}
 
     def __repr__(self):
@@ -205,12 +214,15 @@ class Model:
 
         images [B, H, W, 3]; targets [B, max_det, 5|6] padded with -1.
 
-        Note: the dense one-hot cls target ([B, H, W, A, K]) is kept
-        deliberately. A gather-based fused form (select only the
-        fg-class logit) was measured 15% SLOWER end-to-end on v5e:
-        take_along_axis differentiates into a scatter, which lowers
-        far worse than the dense one-hot multiply XLA can fuse.
+        On TPU the focal term runs as the fused Pallas kernel
+        (ops/pallas/focal_kernel.py): index-form targets, no dense
+        one-hot in memory — the XLA dense-one-hot path materializes
+        ~10 ms/step of [B, N, K] buffers at 832 px. Elsewhere (CPU
+        tests, virtual-device dryruns) the dense jnp form below is the
+        reference twin. (A gather-based XLA fusion was the measured
+        dead end: take_along_axis differentiates into a scatter.)
         """
+        use_fused = _tpu_backend()
         cls_heads, box_heads = self.module.apply(variables, images)
 
         cls_losses, box_losses, fg_counts = [], [], []
@@ -223,31 +235,37 @@ class Model:
             # flat=True: targets come back [B, H*W*A, K|nb|1] — the same
             # memory order as the NHWC heads reshaped below (channels
             # are anchor-major), so no physical transposes are needed
-            # between assignment and loss (~4 ms/step saved at 832 px)
+            # between assignment and loss. one_hot_cls only off the
+            # fused path (the kernel builds the one-hot on the fly).
+            snap_kw = dict(size=size_px, stride=stride, anchor_table=table,
+                           num_classes=self.classes,
+                           anchor_ious=self.anchor_ious, flat=True,
+                           one_hot_cls=not use_fused)
             if self.rotated_bbox:
                 # batched form: real lax.cond skipping of padding slots
                 # and out-of-band targets (vmap would select-ify it)
                 cls_t, box_t, depth = snap_to_anchors_rotated_batched(
-                    targets.astype(jnp.float32), size=size_px,
-                    stride=stride, anchor_table=table,
-                    num_classes=self.classes, anchor_ious=self.anchor_ious,
-                    flat=True)
+                    targets.astype(jnp.float32), **snap_kw)
             else:
                 cls_t, box_t, depth = jax.vmap(partial(
-                    snap_to_anchors, size=size_px, stride=stride,
-                    anchor_table=table, num_classes=self.classes,
-                    anchor_ious=self.anchor_ious, flat=True))(
+                    snap_to_anchors, **snap_kw))(
                         targets.astype(jnp.float32))
 
             b = cls_head.shape[0]
-            cls_p = cls_head.reshape(b, -1, self.classes)
             box_p = box_head.reshape(b, -1, self.box_size)
 
             fg = depth > 0
             fg_counts.append(jnp.maximum(fg.sum(), 1).astype(jnp.float32))
 
-            cls_mask = (depth >= 0)[..., None]
-            cls_losses.append((focal_loss(cls_p, cls_t) * cls_mask).sum())
+            if use_fused:
+                cls_losses.append(focal_sum_fused(
+                    cls_head, cls_t.astype(jnp.float32), depth,
+                    classes=self.classes, mesh=self._loss_mesh))
+            else:
+                cls_p = cls_head.reshape(b, -1, self.classes)
+                cls_mask = (depth >= 0)[..., None]
+                cls_losses.append(
+                    (focal_loss(cls_p, cls_t) * cls_mask).sum())
             box_mask = fg[..., None]
             box_losses.append(
                 (smooth_l1_loss(box_p, box_t) * box_mask).sum())

@@ -106,3 +106,54 @@ def test_pallas_rotated_best_match_matches_reference(monkeypatch):
     np.testing.assert_allclose(pi[considered], ri[considered], atol=1e-5)
     assert (px[considered] == rx[considered]).all()
     assert (ri[~considered] <= 0.0).all()
+
+
+def _focal_dense_reference(head, cls_idx, depth, classes):
+    """Dense one-hot focal sum — the jnp twin the kernel must match."""
+    from odtk_tpu.ops import focal_loss
+    b = head.shape[0]
+    logits = jnp.reshape(head, (b, -1, classes))
+    onehot = (cls_idx[..., None] == jnp.arange(classes)).astype(
+        jnp.float32) * (depth[..., None] > 0)
+    valid = (depth >= 0)[..., None]
+    return (focal_loss(logits, onehot) * valid).sum()
+
+
+def _focal_case(seed=0, b=2, h=4, w=4, a=3, k=7):
+    rng = np.random.RandomState(seed)
+    head = jnp.asarray(rng.randn(b, h, w, a * k) * 3, jnp.float32)
+    n = h * w * a
+    cls_idx = jnp.asarray(rng.randint(0, k, (b, n)), jnp.float32)
+    depth = jnp.asarray(
+        rng.choice([-1.0, 0.0, 2.0], (b, n), p=[0.2, 0.6, 0.2]),
+        jnp.float32)
+    return head, cls_idx, depth, k
+
+
+def test_fused_focal_forward_matches_dense():
+    from odtk_tpu.ops.pallas import focal_sum_fused
+    head, cls_idx, depth, k = _focal_case()
+    got = focal_sum_fused(head, cls_idx, depth, classes=k, interpret=True)
+    want = _focal_dense_reference(head, cls_idx, depth, k)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_fused_focal_grad_matches_dense():
+    from odtk_tpu.ops.pallas import focal_sum_fused
+    head, cls_idx, depth, k = _focal_case(seed=3)
+
+    g_fused = jax.grad(lambda x: focal_sum_fused(
+        x, cls_idx, depth, classes=k, interpret=True) * 0.37)(head)
+    g_dense = jax.grad(lambda x: _focal_dense_reference(
+        x, cls_idx, depth, k) * 0.37)(head)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_dense),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_focal_nondivisible_rows_padded():
+    # b*h*w = 6 rows -> not a multiple of any block; exercises padding
+    from odtk_tpu.ops.pallas import focal_sum_fused
+    head, cls_idx, depth, k = _focal_case(seed=5, b=1, h=2, w=3, a=2, k=5)
+    got = focal_sum_fused(head, cls_idx, depth, classes=k, interpret=True)
+    want = _focal_dense_reference(head, cls_idx, depth, k)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from odtk_tpu.model import Model
-from odtk_tpu.train import train, lr_schedule
+from odtk_tpu.train import train, lr_schedule, make_optimizer
 from odtk_tpu.infer import infer
 from synth import make_dataset
 
@@ -46,6 +46,38 @@ def test_lr_schedule_matches_reference_shape():
                                rtol=1e-5)
     np.testing.assert_allclose(float(sched(jnp.float32(900))), 0.0001,
                                rtol=1e-5)
+
+
+def test_flat_optimizer_matches_optax_chain():
+    """The single-ravel SGD (flat=True, the fast path on TPU) must be
+    numerically identical to the optax add_decayed_weights+trace+lr
+    chain it replaces, step for step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {'a': {'kernel': jnp.linspace(-1.0, 1.0, 12).reshape(3, 4),
+                    'bias': jnp.arange(4.0)},
+              'b': {'kernel': jnp.full((2, 2), 0.3)}}
+    kw = dict(lr=0.05, warmup=3, milestones=[6], gamma=0.1,
+              weight_decay=1e-2, momentum=0.9)
+    tx_flat = make_optimizer(flat=True, **kw)
+    tx_ref = make_optimizer(flat=False, **kw)
+    s_flat, s_ref = tx_flat.init(params), tx_ref.init(params)
+    p_flat, p_ref = params, params
+
+    rng = np.random.RandomState(3)
+    for _ in range(8):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32),
+            p_flat)
+        u1, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        p_flat = optax.apply_updates(p_flat, u1)
+        u2, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u2)
+    for k1, k2 in [('a', 'kernel'), ('a', 'bias'), ('b', 'kernel')]:
+        np.testing.assert_allclose(np.asarray(p_flat[k1][k2]),
+                                   np.asarray(p_ref[k1][k2]), rtol=2e-6)
 
 
 def test_train_runs_and_checkpoints(dataset):
