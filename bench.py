@@ -110,17 +110,28 @@ def main():
     except Exception as e:  # noqa: BLE001
         result['train_error'] = str(e)[:200]
 
+    # Rotated-box training throughput (3-angle anchors triple the head
+    # channels, so the premium over axis is mostly inherent compute).
+    # Skippable via ODTK_BENCH_ROTATED=0 if the compile cache is cold.
+    if os.environ.get('ODTK_BENCH_ROTATED', '1') != '0':
+        try:
+            rot = bench_train(model_cls=Model, rotated=True)
+            result['rotated_train_im_s_per_chip'] = rot['train_im_s_per_chip']
+            result['rotated_train_step_ms'] = rot['train_step_ms']
+        except Exception as e:  # noqa: BLE001
+            result['rotated_train_error'] = str(e)[:200]
+
     print(json.dumps(result))
 
 
-def bench_train(model_cls, batch=8, size=832, steps=24):
+def bench_train(model_cls, batch=8, size=832, steps=24, rotated=False):
     import jax
     import jax.numpy as jnp
     from odtk_tpu.train import make_optimizer, make_train_step
     from odtk_tpu.parallel import make_mesh, shard_batch
 
     model = model_cls(backbones='ResNet50FPN', classes=80,
-                      dtype=jnp.bfloat16)
+                      dtype=jnp.bfloat16, rotated_bbox=rotated)
     model.initialize(rng=0, image_size=(256, 256))
     mesh = make_mesh(jax.devices()[:1])
     tx = make_optimizer(lr=0.01, warmup=100, milestones=[1000], gamma=0.1)
@@ -131,9 +142,13 @@ def bench_train(model_cls, batch=8, size=832, steps=24):
 
     rng = np.random.RandomState(0)
     data = rng.randn(batch, size, size, 3).astype(np.float32) * 0.5
-    targets = np.full((batch, 32, 5), -1.0, np.float32)
-    targets[:, :4, :4] = rng.uniform(40, 400, (batch, 4, 4))
-    targets[:, :4, 4] = rng.randint(0, 80, (batch, 4))
+    ncol = 6 if rotated else 5
+    targets = np.full((batch, 32, ncol), -1.0, np.float32)
+    targets[:, :4, :2] = rng.uniform(100, 600, (batch, 4, 2))
+    targets[:, :4, 2:4] = rng.uniform(40, 300, (batch, 4, 2))
+    if rotated:
+        targets[:, :4, 4] = rng.uniform(-0.7, 0.7, (batch, 4))
+    targets[:, :4, ncol - 1] = rng.randint(0, 80, (batch, 4))
     images, tgts = shard_batch(mesh, data, targets)
 
     def run(k, params, opt_state):

@@ -123,12 +123,15 @@ def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
     # argmax + take_along_axis + boxes[best] lower to batched-gather
     # custom calls that cost ~20 ms/step at N~100k under vmap (profiled
     # on v5e); a first-max one-hot contracted over the tiny M axis is
-    # the same result as pure elementwise + matmul. The cumsum keeps
-    # argmax's first-hit tie-break.
+    # the same result as pure elementwise + matmul. min-of-iota keeps
+    # argmax's first-hit tie-break in two passes over [N, M] (a cumsum
+    # lowers to several).
+    m = overlap.shape[1]
     best_iou = jnp.max(overlap, axis=1)
     is_max = overlap == best_iou[:, None]
-    onehot = (is_max & (jnp.cumsum(is_max, axis=1) == 1)).astype(
-        overlap.dtype)                                          # [N, M]
+    cols = jnp.arange(m, dtype=jnp.int32)
+    first = jnp.min(jnp.where(is_max, cols, m), axis=1)         # [N]
+    onehot = (cols == first[:, None]).astype(overlap.dtype)     # [N, M]
     best_cls = onehot @ classes
     deltas = box2delta(onehot @ boxes, anchors)
     return _finalize(best_iou, best_cls, deltas, num_classes,
