@@ -205,14 +205,17 @@ def focal_sum_fused(cls_head, cls_idx, depth, classes, alpha=0.25,
 
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
         axis = mesh.axis_names[0]
-        local = shard_map(
+        # check_vma=False: pallas_call can't annotate how its output
+        # varies across mesh axes, so shard_map's varying-mesh-axes
+        # checker rejects it; the psum makes the result replicated.
+        local = jax.shard_map(
             lambda hd, ci, dp: jax.lax.psum(flat_call(hd, ci, dp), axis),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=P(),
+            check_vma=False,
         )
         return local(cls_head, cls_idx, depth)
     return flat_call(cls_head, cls_idx, depth)

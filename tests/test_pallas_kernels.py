@@ -150,6 +150,20 @@ def test_fused_focal_grad_matches_dense():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_fused_focal_shard_map_matches_dense():
+    """The mesh>1 branch (shard_map over the data axis + psum) must
+    match the dense twin — it only runs on real multi-chip TPU meshes,
+    so this is its one test seam (8 virtual CPU devices, interpret)."""
+    from jax.sharding import Mesh
+    from odtk_tpu.ops.pallas import focal_sum_fused
+    head, cls_idx, depth, k = _focal_case(seed=7, b=8, h=4, w=4, a=3, k=7)
+    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
+    got = focal_sum_fused(head, cls_idx, depth, classes=k, mesh=mesh,
+                          interpret=True)
+    want = _focal_dense_reference(head, cls_idx, depth, k)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
 def test_fused_focal_nondivisible_rows_padded():
     # b*h*w = 6 rows -> not a multiple of any block; exercises padding
     from odtk_tpu.ops.pallas import focal_sum_fused
