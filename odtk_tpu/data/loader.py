@@ -131,8 +131,14 @@ class DataIterator:
                     bi, batch_ids = work_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[i] for i in batch_ids]
-                out_q.put((bi, self._collate(samples)))
+                try:
+                    samples = [self.dataset[i] for i in batch_ids]
+                    out_q.put((bi, self._collate(samples)))
+                except Exception as e:  # noqa: BLE001 — must reach main
+                    # a silently-dead worker would leave the consumer
+                    # blocked on out_q.get() forever; ship the error
+                    out_q.put((bi, e))
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
@@ -143,7 +149,10 @@ class DataIterator:
         pending = {}
         while emitted < len(batches):
             if emitted in pending:
-                yield pending.pop(emitted)
+                item = pending.pop(emitted)
+                if isinstance(item, Exception):
+                    raise item
+                yield item
                 emitted += 1
                 continue
             bi, item = out_q.get()

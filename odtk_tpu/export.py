@@ -62,6 +62,15 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
         size = (size, size)
     if len(size) == 1:
         size = (size[0], size[0])
+    # engines must take stride-aligned inputs: the model's FPN levels
+    # assume H, W divisible by the max stride, and the loader pads every
+    # image up to that multiple (coco.py stride padding) — an unaligned
+    # engine size would reject its own loader's batches
+    aligned = tuple(-(-s // model.stride) * model.stride for s in size)
+    if aligned != tuple(size):
+        print(f'rounding engine size {tuple(size)} up to stride-aligned '
+              f'{aligned} (model stride {model.stride})')
+        size = aligned
     if precision in ('bf16', 'FP16'):
         model.set_dtype(jnp.bfloat16)
     elif precision in ('fp32', 'FP32'):
@@ -180,6 +189,7 @@ def export_cpp_engine(model, size, batch=1, path='model.cppengine',
 
     if isinstance(size, int):
         size = (size, size)
+    size = tuple(-(-s // model.stride) * model.stride for s in size)
     if precision in ('bf16', 'FP16'):
         model.set_dtype(jnp.bfloat16)
 

@@ -123,6 +123,19 @@ def test_loader_dataset_smaller_than_batch(dataset_dir):
     assert data.shape[0] == 8 and targets.shape[0] == 8
 
 
+def test_loader_worker_error_propagates(dataset_dir):
+    """A crash inside a loader worker thread must surface as an
+    exception in the consuming loop, not leave it blocked forever on
+    the output queue (found via an engine whose fixed_size was smaller
+    than the stride-padded images)."""
+    img_dir, ann = dataset_dir
+    it = DataIterator(img_dir, resize=128, max_size=256, batch_size=2,
+                      stride=64, world=1, annotations=ann, training=False,
+                      fixed_size=(64, 64))   # images pad to >= 128
+    with pytest.raises(ValueError):
+        next(iter(it))
+
+
 def test_crop_augment(dataset_dir):
     import random as pyrandom
     from odtk_tpu.data.coco import CocoDataset

@@ -49,6 +49,23 @@ def test_engine_pads_to_profile(engine):
     np.testing.assert_allclose(s2[0], s1[0], atol=1e-5)
 
 
+def test_export_rounds_size_to_stride(tmp_path):
+    """Unaligned export sizes round up to the model stride: the loader
+    pads every image to stride multiples, so a 100px engine could never
+    accept its own loader's batches (regression: size 320, stride 128
+    produced 384px images against a 320px input buffer)."""
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    path = str(tmp_path / 'odd.engine')
+    export_model(m, (100, 100), precision='fp32', path=path,
+                 dynamic_batch_opts=[1, 1, 1])
+    eng = Engine.load(path)
+    assert eng.input_size == (128, 128)
+    out = eng(np.random.RandomState(0).randn(1, 96, 80, 3)
+              .astype(np.float32))
+    assert out[0].shape[0] == 1
+
+
 def test_engine_rejects_bad_magic(tmp_path):
     p = tmp_path / 'junk.engine'
     p.write_bytes(b'not an engine at all')
