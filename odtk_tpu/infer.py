@@ -56,7 +56,11 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
         # cached per (dtype, mesh): periodic validation reuses the
         # compiled pipeline instead of re-tracing every val_iters
         infer_fn = model.jitted_inference_fn(mesh)
-        variables = model.variables
+        # upload weights ONCE: a checkpoint's numpy pytree passed to a
+        # jitted fn re-transfers every weight per batch (~5 s/batch over
+        # the axon tunnel for ResNet18); a no-op when already on device
+        variables = jax.device_put(model.variables,
+                                   replicated_sharding(mesh))
     else:
         mesh = None
 
