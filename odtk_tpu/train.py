@@ -208,8 +208,11 @@ def train(model, state, path, annotations, val_path, val_annotations,
                 cls_losses.append(cl)
                 box_losses.append(bl)
                 if not math.isfinite(cl + bl):
-                    raise RuntimeError('Loss is diverging!\n{}'.format(
-                        'Try lowering the learning rate.'))
+                    raise RuntimeError(
+                        'Loss is diverging! (iteration {}: focal loss '
+                        '{}, box loss {})\n{}'.format(
+                            it_idx, cl, bl,
+                            'Try lowering the learning rate.'))
         pending = []
 
     while iteration < iterations:
