@@ -44,13 +44,36 @@ def decode(cls_head, box_head, stride, threshold=0.05, top_n=1000,
     a = box_head.shape[-1] // nb
     k = chans // a
 
-    scores_flat = cls_head.reshape(b, -1)                      # (h,w,a,k) order
-    if not from_logits:
-        scores_flat = scores_flat.astype(jnp.float32)
-    top_n = min(top_n, scores_flat.shape[1])
-    if exact or top_n >= scores_flat.shape[1]:
+    n_total = h * w * chans
+    top_n = min(top_n, n_total)
+    if exact or top_n >= n_total:
+        scores_flat = cls_head.reshape(b, -1)                  # (h,w,a,k) order
+        if not from_logits:
+            scores_flat = scores_flat.astype(jnp.float32)
         scores, idx = jax.lax.top_k(scores_flat, top_n)        # [B, top_n]
+    elif n_total >= (1 << 20) and chans % 128:
+        # Lane-pad the big (stride-8/16) levels before flattening: the
+        # NHWC head is (8,128)-tiled over (W, C), and with C=A*K (e.g.
+        # 720) not a lane multiple the flat [B, N] view forces a
+        # physical depad — XLA lowers it as a ~0.5 ms serial copy loop
+        # at 7M elements. Padding C up to the next 128 multiple with
+        # -inf keeps the flatten layout-compatible (one vectorized pad
+        # instead of the loop); -inf slots can never be selected, and
+        # the index math just uses the padded channel count.
+        cp = -(-chans // 128) * 128
+        rows = cls_head.reshape(b, h * w, chans)               # bitcast
+        if not from_logits:
+            rows = rows.astype(jnp.float32)
+        neg = jnp.asarray(-jnp.inf, rows.dtype)
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, cp - chans)),
+                       constant_values=neg)
+        scores, idxp = jax.lax.approx_max_k(
+            rows.reshape(b, -1), top_n, recall_target=recall_target)
+        idx = (idxp // cp) * chans + (idxp % cp)
     else:
+        scores_flat = cls_head.reshape(b, -1)
+        if not from_logits:
+            scores_flat = scores_flat.astype(jnp.float32)
         scores, idx = jax.lax.approx_max_k(
             scores_flat, top_n, recall_target=recall_target)
     if from_logits:

@@ -69,6 +69,28 @@ def np_greedy_nms(scores, boxes, classes, thr, nd):
     return out_s, out_b, out_c
 
 
+def test_decode_hierarchical_matches_exact_at_scale():
+    """The two-stage (per-cell top-128, then global) selection used for
+    >1M-score levels must recover the same detections as exact top_k on
+    realistic score maps (it is exact unless one cell holds >128 of the
+    global top_n)."""
+    import jax
+    rng = np.random.RandomState(3)
+    h = w = 104
+    a, k = 9, 80
+    logits = jnp.asarray(rng.randn(1, h, w, a * k).astype(np.float32)
+                         * 2 - 4)
+    box = jnp.asarray(rng.randn(1, h, w, a * 4).astype(np.float32) * 0.1)
+    table = np.stack([np.zeros(a), np.zeros(a),
+                      np.full(a, 31.0), np.full(a, 31.0)], 1)
+    se, be, ce = decode(jax.nn.sigmoid(logits), box, 8, anchors=table,
+                        exact=True)
+    sh, bh, ch = decode(logits, box, 8, anchors=table, from_logits=True)
+    assert h * w * a * k >= (1 << 20)          # hierarchical path taken
+    se, sh = np.sort(np.asarray(se[0])), np.sort(np.asarray(sh[0]))
+    np.testing.assert_allclose(sh, se, atol=1e-6)
+
+
 def test_nms_suppresses_overlaps_same_class_only():
     scores = np.array([[0.9, 0.8, 0.7, 0.6]], np.float32)
     boxes = np.array([[[0, 0, 10, 10], [1, 1, 11, 11],
