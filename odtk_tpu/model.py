@@ -28,7 +28,7 @@ from .ops import (decode, nms, nms_rotated, focal_loss, smooth_l1_loss,
                   snap_to_anchors, snap_to_anchors_rotated,
                   snap_to_anchors_rotated_batched,
                   generate_anchors, generate_anchors_rotated)
-from .ops.pallas import focal_sum_fused
+from .ops.pallas import detection_loss_sums_fused
 
 
 def _tpu_backend():
@@ -214,13 +214,15 @@ class Model:
 
         images [B, H, W, 3]; targets [B, max_det, 5|6] padded with -1.
 
-        On TPU the focal term runs as the fused Pallas kernel
-        (ops/pallas/focal_kernel.py): index-form targets, no dense
-        one-hot in memory — the XLA dense-one-hot path materializes
-        ~10 ms/step of [B, N, K] buffers at 832 px. Elsewhere (CPU
-        tests, virtual-device dryruns) the dense jnp form below is the
-        reference twin. (A gather-based XLA fusion was the measured
-        dead end: take_along_axis differentiates into a scatter.)
+        On TPU both loss terms run as ONE fused Pallas kernel
+        (ops/pallas/focal_kernel.py detection_loss_sums_fused):
+        index-form targets, no dense one-hot in memory — the XLA
+        dense-one-hot path materializes ~10 ms/step of [B, N, K]
+        buffers at 832 px — and the smooth-L1 diff never leaves VMEM.
+        Elsewhere (CPU tests, virtual-device dryruns) the dense jnp
+        form below is the reference twin. (A gather-based XLA fusion
+        was the measured dead end: take_along_axis differentiates into
+        a scatter.)
         """
         use_fused = _tpu_backend()
         cls_heads, box_heads = self.module.apply(variables, images)
@@ -252,23 +254,24 @@ class Model:
                         targets.astype(jnp.float32))
 
             b = cls_head.shape[0]
-            box_p = box_head.reshape(b, -1, self.box_size)
-
             fg = depth > 0
             fg_counts.append(jnp.maximum(fg.sum(), 1).astype(jnp.float32))
 
             if use_fused:
-                cls_losses.append(focal_sum_fused(
-                    cls_head, cls_t.astype(jnp.float32), depth,
-                    classes=self.classes, mesh=self._loss_mesh))
+                c_sum, b_sum = detection_loss_sums_fused(
+                    cls_head, box_head, cls_t.astype(jnp.float32), box_t,
+                    depth, classes=self.classes, mesh=self._loss_mesh)
+                cls_losses.append(c_sum)
+                box_losses.append(b_sum)
             else:
                 cls_p = cls_head.reshape(b, -1, self.classes)
                 cls_mask = (depth >= 0)[..., None]
                 cls_losses.append(
                     (focal_loss(cls_p, cls_t) * cls_mask).sum())
-            box_mask = fg[..., None]
-            box_losses.append(
-                (smooth_l1_loss(box_p, box_t) * box_mask).sum())
+                box_p = box_head.reshape(b, -1, self.box_size)
+                box_mask = fg[..., None]
+                box_losses.append(
+                    (smooth_l1_loss(box_p, box_t) * box_mask).sum())
 
         fg_total = jnp.stack(fg_counts).sum()
         cls_loss = jnp.stack(cls_losses).sum() / fg_total

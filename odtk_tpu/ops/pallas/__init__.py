@@ -10,6 +10,7 @@ is used automatically.
 
 from .nms_kernel import nms_pallas
 from .iou_kernel import rotated_best_match_pallas
-from .focal_kernel import focal_sum_fused
+from .focal_kernel import detection_loss_sums_fused, focal_sum_fused
 
-__all__ = ['nms_pallas', 'rotated_best_match_pallas', 'focal_sum_fused']
+__all__ = ['nms_pallas', 'rotated_best_match_pallas', 'focal_sum_fused',
+           'detection_loss_sums_fused']

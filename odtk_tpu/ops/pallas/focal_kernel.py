@@ -177,6 +177,209 @@ def _build(anchors, classes, alpha, gamma, block, interpret):
     return focal_sum_2d
 
 
+def _box_fwd(bxa, bta, da, beta):
+    """Per-slot smooth-L1 partial sum. bxa/bta [R, D] f32, da [R, 1] f32."""
+    fg = (da > 0.0).astype(jnp.float32)
+    d = bxa - bta
+    ad = jnp.abs(d)
+    l = jnp.where(ad >= beta, ad - 0.5 * beta, 0.5 * ad * ad / beta)
+    return jnp.sum(fg * l)
+
+
+def _loss_fwd_kernel(x_ref, bx_ref, bt_ref, cls_ref, dep_ref, out_ref, *,
+                     anchors, classes, box_dim, alpha, gamma, beta):
+    # out_ref is a (1, 2) SMEM accumulator: [cls_sum, box_sum]
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[0, 0] = jnp.float32(0.0)
+        out_ref[0, 1] = jnp.float32(0.0)
+
+    x = x_ref[:].astype(jnp.float32)
+    bx = bx_ref[:].astype(jnp.float32)
+    bt = bt_ref[:].astype(jnp.float32)
+    cls_total = jnp.float32(0.0)
+    box_total = jnp.float32(0.0)
+    for a in range(anchors):
+        da = dep_ref[:, a:a + 1]
+        valid, a_t, _, _, _, qg, ce = _terms(
+            x[:, a * classes:(a + 1) * classes],
+            cls_ref[:, a:a + 1], da, classes, alpha, gamma)
+        cls_total = cls_total + jnp.sum(valid * a_t * qg * ce)
+        sl = slice(a * box_dim, (a + 1) * box_dim)
+        box_total = box_total + _box_fwd(bx[:, sl], bt[:, sl], da, beta)
+    out_ref[0, 0] += cls_total
+    out_ref[0, 1] += box_total
+
+
+def _loss_bwd_kernel(g_ref, x_ref, bx_ref, bt_ref, cls_ref, dep_ref,
+                     dx_ref, dbx_ref, *, anchors, classes, box_dim,
+                     alpha, gamma, beta):
+    g_cls = g_ref[0, 0]
+    g_box = g_ref[0, 1]
+    x = x_ref[:].astype(jnp.float32)
+    bx = bx_ref[:].astype(jnp.float32)
+    bt = bt_ref[:].astype(jnp.float32)
+    for a in range(anchors):
+        da = dep_ref[:, a:a + 1]
+        sl = slice(a * classes, (a + 1) * classes)
+        valid, a_t, t, p_t, q, qg, ce = _terms(
+            x[:, sl], cls_ref[:, a:a + 1], da, classes, alpha, gamma)
+        dx = -a_t * (2.0 * t - 1.0) * qg * (gamma * p_t * ce + q)
+        dx_ref[:, sl] = (g_cls * valid * dx).astype(dx_ref.dtype)
+        bsl = slice(a * box_dim, (a + 1) * box_dim)
+        fg = (da > 0.0).astype(jnp.float32)
+        # d smooth_l1 / d pred = clamp(diff / beta, -1, 1)
+        dbx = jnp.clip((bx[:, bsl] - bt[:, bsl]) / beta, -1.0, 1.0)
+        dbx_ref[:, bsl] = (g_box * fg * dbx).astype(dbx_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
+                 interpret):
+    """custom-VJP (focal_sum, smooth_l1_sum) over 2-D operands."""
+    ck = anchors * classes
+    cb = anchors * box_dim
+    fwd_k = functools.partial(_loss_fwd_kernel, anchors=anchors,
+                              classes=classes, box_dim=box_dim,
+                              alpha=alpha, gamma=gamma, beta=beta)
+    bwd_k = functools.partial(_loss_bwd_kernel, anchors=anchors,
+                              classes=classes, box_dim=box_dim,
+                              alpha=alpha, gamma=gamma, beta=beta)
+
+    def run_fwd(x2d, bx2d, bt2d, cls2d, dep2d):
+        m = x2d.shape[0]
+        m_pad = -(-m // block) * block
+        grid = m_pad // block
+        sums = pl.pallas_call(
+            fwd_k,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((block, ck), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, anchors), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, anchors), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 2), lambda g: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            interpret=interpret,
+        )(_pad_rows(x2d, m_pad, 0.0),
+          _pad_rows(bx2d, m_pad, 0.0),
+          _pad_rows(bt2d, m_pad, 0.0),
+          _pad_rows(cls2d, m_pad, 0.0),
+          _pad_rows(dep2d, m_pad, -1.0))       # pad rows are invalid
+        return sums[0, 0], sums[0, 1]
+
+    def run_bwd(g_cls, g_box, x2d, bx2d, bt2d, cls2d, dep2d):
+        m = x2d.shape[0]
+        m_pad = -(-m // block) * block
+        grid = m_pad // block
+        dx, dbx = pl.pallas_call(
+            bwd_k,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, ck), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, anchors), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, anchors), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block, ck), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m_pad, ck), x2d.dtype),
+                jax.ShapeDtypeStruct((m_pad, cb), bx2d.dtype),
+            ],
+            interpret=interpret,
+        )(jnp.stack([g_cls, g_box]).astype(jnp.float32).reshape(1, 2),
+          _pad_rows(x2d, m_pad, 0.0),
+          _pad_rows(bx2d, m_pad, 0.0),
+          _pad_rows(bt2d, m_pad, 0.0),
+          _pad_rows(cls2d, m_pad, 0.0),
+          _pad_rows(dep2d, m_pad, -1.0))
+        return dx[:m], dbx[:m]
+
+    @jax.custom_vjp
+    def loss_sums_2d(x2d, bx2d, bt2d, cls2d, dep2d):
+        return run_fwd(x2d, bx2d, bt2d, cls2d, dep2d)
+
+    def fwd(x2d, bx2d, bt2d, cls2d, dep2d):
+        return (run_fwd(x2d, bx2d, bt2d, cls2d, dep2d),
+                (x2d, bx2d, bt2d, cls2d, dep2d))
+
+    def bwd(res, gs):
+        x2d, bx2d, bt2d, cls2d, dep2d = res
+        dx, dbx = run_bwd(gs[0], gs[1], x2d, bx2d, bt2d, cls2d, dep2d)
+        return (dx, dbx, jnp.zeros_like(bt2d), jnp.zeros_like(cls2d),
+                jnp.zeros_like(dep2d))
+
+    loss_sums_2d.defvjp(fwd, bwd)
+    return loss_sums_2d
+
+
+def detection_loss_sums_fused(cls_head, box_head, cls_idx, box_t, depth,
+                              classes, alpha=0.25, gamma=2.0, beta=0.11,
+                              mesh=None, interpret=False):
+    """(focal_sum, smooth_l1_sum) for one level in ONE fused kernel pass.
+
+    Extends focal_sum_fused with the box term: box_head [B, H, W, A*D]
+    in its native layout and box_t [B, N, D] (flat assignment output,
+    anchor-major — a bitcast of the same [BHW, A*D] layout) are read in
+    the same grid as the class head, sharing the depth-mask loads. The
+    separate XLA smooth-L1 materialized fp32 [B, N, D] temporaries in
+    forward AND backward; here the diff never leaves VMEM. Semantics:
+    smooth-L1(beta) summed over fg anchors (odtk/loss.py:20-31,
+    odtk/model.py:186-210); caller normalizes both sums by fg count.
+    """
+    b, h, w, chan = cls_head.shape
+    anchors = chan // classes
+    box_dim = box_head.shape[-1] // anchors
+
+    def flat_call(chd, bhd, ci, bt, dp):
+        x2d = chd.reshape(-1, chan)
+        bx2d = bhd.reshape(-1, anchors * box_dim)
+        bt2d = bt.astype(jnp.float32).reshape(-1, anchors * box_dim)
+        cls2d = ci.astype(jnp.float32).reshape(-1, anchors)
+        dep2d = dp.astype(jnp.float32).reshape(-1, anchors)
+        fn2d = _build_joint(anchors, classes, box_dim, float(alpha),
+                            float(gamma), float(beta),
+                            _pick_block(x2d.shape[0]), bool(interpret))
+        return fn2d(x2d, bx2d, bt2d, cls2d, dep2d)
+
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        # check_vma=False: see focal_sum_fused
+        local = jax.shard_map(
+            lambda *ops: jax.tree.map(
+                lambda s: jax.lax.psum(s, axis), flat_call(*ops)),
+            mesh=mesh,
+            in_specs=(P(axis),) * 5,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return local(cls_head, box_head, cls_idx, box_t, depth)
+    return flat_call(cls_head, box_head, cls_idx, box_t, depth)
+
+
 def focal_sum_fused(cls_head, cls_idx, depth, classes, alpha=0.25,
                     gamma=2.0, mesh=None, interpret=False):
     """Masked focal-loss SUM over one level, fused (no dense one-hot).

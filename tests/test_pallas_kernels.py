@@ -171,3 +171,87 @@ def test_fused_focal_nondivisible_rows_padded():
     got = focal_sum_fused(head, cls_idx, depth, classes=k, interpret=True)
     want = _focal_dense_reference(head, cls_idx, depth, k)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def _joint_case(seed=0, b=2, h=4, w=4, a=3, k=7, d=4):
+    head, cls_idx, depth, _ = _focal_case(seed=seed, b=b, h=h, w=w, a=a, k=k)
+    rng = np.random.RandomState(seed + 100)
+    n = h * w * a
+    box_head = jnp.asarray(rng.randn(b, h, w, a * d) * 0.3, jnp.float32)
+    box_t = jnp.asarray(rng.randn(b, n, d) * 0.3, jnp.float32)
+    return head, box_head, cls_idx, box_t, depth, k
+
+
+def _smooth_l1_dense_reference(box_head, box_t, depth, d):
+    from odtk_tpu.ops import smooth_l1_loss
+    b = box_head.shape[0]
+    box_p = jnp.reshape(box_head, (b, -1, d))
+    fg = (depth > 0)[..., None]
+    return (smooth_l1_loss(box_p, box_t) * fg).sum()
+
+
+def test_joint_loss_forward_matches_dense():
+    from odtk_tpu.ops.pallas import detection_loss_sums_fused
+    head, box_head, cls_idx, box_t, depth, k = _joint_case()
+    c, bx = detection_loss_sums_fused(head, box_head, cls_idx, box_t,
+                                      depth, classes=k, interpret=True)
+    np.testing.assert_allclose(
+        float(c), float(_focal_dense_reference(head, cls_idx, depth, k)),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(bx), float(_smooth_l1_dense_reference(box_head, box_t,
+                                                    depth, 4)), rtol=1e-5)
+
+
+def test_joint_loss_grads_match_dense():
+    """Both cotangents flow: grads w.r.t. cls head AND box head, with
+    distinct upstream weights on the two sums (rules out a swapped or
+    shared g in the backward kernel)."""
+    from odtk_tpu.ops.pallas import detection_loss_sums_fused
+    head, box_head, cls_idx, box_t, depth, k = _joint_case(seed=3)
+
+    def fused(x, bxh):
+        c, bx = detection_loss_sums_fused(x, bxh, cls_idx, box_t, depth,
+                                          classes=k, interpret=True)
+        return 0.37 * c + 1.91 * bx
+
+    def dense(x, bxh):
+        return (0.37 * _focal_dense_reference(x, cls_idx, depth, k)
+                + 1.91 * _smooth_l1_dense_reference(bxh, box_t, depth, 4))
+
+    gf = jax.grad(fused, argnums=(0, 1))(head, box_head)
+    gd = jax.grad(dense, argnums=(0, 1))(head, box_head)
+    for a_, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_joint_loss_rotated_dims_and_padding():
+    # box_dim=6 (rotated) + non-divisible rows
+    from odtk_tpu.ops.pallas import detection_loss_sums_fused
+    head, box_head, cls_idx, box_t, depth, k = _joint_case(
+        seed=5, b=1, h=2, w=3, a=2, k=5, d=6)
+    c, bx = detection_loss_sums_fused(head, box_head, cls_idx, box_t,
+                                      depth, classes=k, interpret=True)
+    np.testing.assert_allclose(
+        float(c), float(_focal_dense_reference(head, cls_idx, depth, k)),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(bx), float(_smooth_l1_dense_reference(box_head, box_t,
+                                                    depth, 6)), rtol=1e-5)
+
+
+def test_joint_loss_shard_map_matches_dense():
+    from jax.sharding import Mesh
+    from odtk_tpu.ops.pallas import detection_loss_sums_fused
+    head, box_head, cls_idx, box_t, depth, k = _joint_case(seed=7, b=8)
+    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
+    c, bx = detection_loss_sums_fused(head, box_head, cls_idx, box_t,
+                                      depth, classes=k, mesh=mesh,
+                                      interpret=True)
+    np.testing.assert_allclose(
+        float(c), float(_focal_dense_reference(head, cls_idx, depth, k)),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(bx), float(_smooth_l1_dense_reference(box_head, box_t,
+                                                    depth, 4)), rtol=1e-5)
