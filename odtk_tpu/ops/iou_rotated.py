@@ -277,23 +277,18 @@ def quad_areas(quads):
 
 
 def rotated_best_match_batched(subject_quads, clip_quads, valid,
-                               skip_ratio=None, payload=None):
-    """Batched streaming best-match with real per-target skipping.
+                               skip_ratio=None, payload=None, chunk=8):
+    """Batched chunk-streaming best-match with real per-target skipping.
 
     subject_quads [N, 8] (shared across the batch — translated anchor
     grid), clip_quads [B, M, 8], valid [B, M] ->
     (best_iou [B, N], best_idx [B, N]) — or, when ``payload`` [B, M, D]
-    is given, (best_iou [B, N], best_payload [B, N, D]): the winning
-    target's payload row is selected INSIDE the update (an elementwise
-    broadcast select), so the caller never needs a batched gather by
-    best index — those lower to ~ms-scale custom-call scatter loops on
-    TPU at N~300k.
+    is given, (best_iou [B, N], best_payload [B, N, D]).
 
     Equivalent to ``jax.vmap(rotated_best_match)`` but the batch axis is
-    explicit in the (b, m) stream: under vmap a ``lax.cond`` would
-    lower to ``select`` (both branches execute for the whole batch), so
-    no work could ever be skipped. Here each target slot is a real
-    conditional, and a slot is skipped when
+    explicit in the packed (b, m) stream, so inactive target slots are
+    actually skipped (under vmap a ``lax.cond`` would lower to ``select``
+    and both branches would always execute). A slot is skipped when
 
       * it is padding (``valid`` false), or
       * ``skip_ratio`` (the assignment's ``lo`` IoU threshold) is given
@@ -302,11 +297,25 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
         reach ``lo`` against ANY anchor of this level, so every anchor
         stays background w.r.t. it and the skip is exact.
 
-    With COCO-like data most of the ``max_det`` slots are padding and
-    most real targets sit in another FPN level's size band, so the
-    expensive [N]-wide clip pass runs only a handful of times instead
-    of B*M times (the round-1 83 ms stride-8 cost was dominated by
-    clipping padding slots).
+    Survivors are processed ``chunk`` at a time: one vmapped clip pass
+    computes [chunk, N] IoUs in a single wide fusion, then chunk tiny
+    [N]-row best-updates apply them in packed (b, m) order (strict >,
+    so winner tie-breaks match the one-at-a-time stream exactly).
+    Profiled on v5e: the one-target-per-iteration while loop cost
+    ~2.3 ms per target *independent of clip span* (AABB-windowing the
+    pass to 1/3 of the anchors changed nothing) — per-iteration
+    overhead, not clip arithmetic, dominated, and chunking amortizes
+    it ~chunk-fold.
+
+    The winner's attributes come back as the original slot id; the
+    caller-facing ``payload`` form contracts a slot-one-hot against the
+    payload rows ([B, N, M] @ [B, M, D] — generated inside the matmul
+    fusion, never a gather: batched gathers by best-index lower to
+    ~ms-scale scatter-loop custom calls on TPU at N~300k). Anchors no
+    active target ever touched keep the -2 IoU sentinel and slot 0
+    (payload row 0) — the documented classification-equivalent
+    convention (only sub-``lo`` background anchors can differ from the
+    vmapped reference).
     """
     subj = subject_quads.reshape(-1, 8).astype(jnp.float32)
     n = subj.shape[0]
@@ -323,63 +332,56 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
     else:
         active = valid
 
-    if payload is not None:
-        payload = payload.astype(jnp.float32)
-        d = payload.shape[-1]
-
     # Pack the active (b, m) slots into a dense prefix so the loop runs
-    # exactly n_act times instead of dispatching B*M lax.cond iterations
-    # (profiled: the *skipped* iterations still cost ~20 us of loop/cond
-    # overhead each — ~50 ms/step over 5 levels at B*M=256). The stable
-    # argsort keeps actives in (b, m) order, so winner tie-breaks match
-    # the unpacked stream exactly. The [B*M]-sized gathers here are tiny
-    # (max_det rows, not anchors) and run once, outside the loop.
+    # ceil(n_act / chunk) times instead of dispatching B*M lax.cond
+    # iterations (profiled: *skipped* iterations still cost ~20 us of
+    # loop/cond overhead each — ~50 ms/step over 5 levels at B*M=256).
+    # The stable argsort keeps actives in (b, m) order. The [B*M]-sized
+    # gathers here are tiny (max_det rows, not anchors) and run once,
+    # outside the loop.
     flat_active = active.reshape(-1)
     order = jnp.argsort(~flat_active, stable=True)     # actives first
     packed_quads = clips.reshape(-1, 8)[order]         # [B*M, 8]
     packed_bi = (order // m).astype(jnp.int32)
-    if payload is None:
-        packed_val = (order % m).astype(jnp.int32)     # original slot id
-    else:
-        packed_val = payload.reshape(-1, d)[order]     # [B*M, D]
+    packed_slot = (order % m).astype(jnp.int32)        # original slot id
     n_act = flat_active.sum().astype(jnp.int32)
+    chunk = min(int(chunk), bsz * m)
 
     def body(carry):
-        j, best_iou, best_val = carry
-        quad = jax.lax.dynamic_index_in_dim(packed_quads, j, 0,
-                                            keepdims=False)
-        bi = jax.lax.dynamic_index_in_dim(packed_bi, j, 0,
-                                          keepdims=False)
-        iou = _clip_iou_one(subj, quad)
-        row_iou = jax.lax.dynamic_slice(best_iou, (bi, 0), (1, n))[0]
-        upd = iou > row_iou
-        best_iou = jax.lax.dynamic_update_slice(
-            best_iou, jnp.where(upd, iou, row_iou)[None], (bi, 0))
-        if payload is None:
-            mi = jax.lax.dynamic_index_in_dim(packed_val, j, 0,
-                                              keepdims=False)
-            row = jax.lax.dynamic_slice(best_val, (bi, 0), (1, n))[0]
-            new = jnp.where(upd, mi, row)[None]
-            best_val = jax.lax.dynamic_update_slice(best_val, new,
-                                                    (bi, 0))
-        else:
-            win = jax.lax.dynamic_slice(packed_val, (j, 0), (1, d))[0]
-            row = jax.lax.dynamic_slice(best_val, (bi, 0, 0),
-                                        (1, n, d))[0]
-            new = jnp.where(upd[:, None], win, row)[None]
-            best_val = jax.lax.dynamic_update_slice(best_val, new,
-                                                    (bi, 0, 0))
-        return j + 1, best_iou, best_val
+        j, best_iou, best_slot = carry
+        base = j * chunk
+        quads = jax.lax.dynamic_slice(packed_quads, (base, 0), (chunk, 8))
+        bis = jax.lax.dynamic_slice(packed_bi, (base,), (chunk,))
+        slots = jax.lax.dynamic_slice(packed_slot, (base,), (chunk,))
+        act = base + jnp.arange(chunk, dtype=jnp.int32) < n_act
+        # one wide fusion for the whole chunk's clip arithmetic
+        ious = jax.vmap(lambda q: _clip_iou_one(subj, q))(quads)
+        for i in range(chunk):                         # static unroll
+            iou_i = jnp.where(act[i], ious[i], -jnp.inf)   # [N]
+            bi = bis[i]
+            row_iou = jax.lax.dynamic_slice(best_iou, (bi, 0), (1, n))[0]
+            row_slot = jax.lax.dynamic_slice(best_slot, (bi, 0),
+                                             (1, n))[0]
+            upd = iou_i > row_iou
+            best_iou = jax.lax.dynamic_update_slice(
+                best_iou, jnp.where(upd, iou_i, row_iou)[None], (bi, 0))
+            best_slot = jax.lax.dynamic_update_slice(
+                best_slot, jnp.where(upd, slots[i], row_slot)[None],
+                (bi, 0))
+        return j + 1, best_iou, best_slot
+
+    init = (jnp.int32(0), jnp.full((bsz, n), -2.0, jnp.float32),
+            jnp.zeros((bsz, n), jnp.int32))
+    _, best_iou, best_slot = jax.lax.while_loop(
+        lambda c: c[0] * chunk < n_act, body, init)
 
     if payload is None:
-        init_val = jnp.zeros((bsz, n), jnp.int32)
-    else:
-        # match the gather-by-index-0 convention when nothing wins
-        init_val = jnp.broadcast_to(payload[:, :1], (bsz, n, d)) + 0.0
-    init = (jnp.int32(0), jnp.full((bsz, n), -2.0, jnp.float32), init_val)
-    _, best_iou, best_val = jax.lax.while_loop(
-        lambda c: c[0] < n_act, body, init)
-    return best_iou, best_val
+        return best_iou, best_slot
+    onehot = (best_slot[..., None]
+              == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
+    best_pay = jnp.einsum('bnm,bmd->bnd', onehot,
+                          payload.astype(jnp.float32))
+    return best_iou, best_pay
 
 
 def sincos_box_corners(boxes):

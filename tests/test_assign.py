@@ -157,6 +157,46 @@ def test_rotated_batched_matches_vmapped():
                                np.asarray(want[1])[fg], atol=1e-4)
 
 
+def test_rotated_batched_chunks_match_vmapped():
+    """Chunked best-match: with more active targets than one chunk
+    (2 images x 6+ in-band targets > chunk=8), the loop runs multiple
+    chunk iterations plus a masked partial tail — all must still agree
+    with the vmapped reference on depth/cls everywhere and boxes on fg
+    anchors."""
+    size = (256, 512)                       # 32 x 64 cells at stride 8
+    tables = generate_anchors_rotated(STRIDE, [1.0], [1.0],
+                                      [-np.pi / 6, 0.0, np.pi / 6])
+
+    rng = np.random.RandomState(11)
+    batch = []
+    for _ in range(2):
+        rows = []
+        for _ in range(5):
+            x, y = rng.uniform(0, 230, 1)[0], rng.uniform(0, 480, 1)[0]
+            w, h = rng.uniform(4, 14, 2)
+            rows.append([x, y, w, h, rng.uniform(-0.6, 0.6),
+                         float(rng.randint(0, 3))])
+        batch.append(np.array(pad_targets(rows, width=6)))
+    # tall-thin but still in the area band
+    batch[0][5] = [100.0, 50.0, 2.0, 80.0, 0.05, 1.0]
+    # at the image bottom edge
+    batch[1][5] = [60.0, 500.0, 8.0, 8.0, 0.0, 2.0]
+    batch = jnp.asarray(np.stack(batch))
+
+    kw = dict(size=size, stride=STRIDE, anchor_table=tables,
+              num_classes=3, anchor_ious=(0.4, 0.5))
+    want = jax.vmap(lambda t: snap_to_anchors_rotated(t, **kw))(batch)
+    got = snap_to_anchors_rotated_batched(batch, **kw)
+
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               atol=1e-5)                    # depth
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-5)                    # cls one-hot
+    fg = np.asarray(want[2]) > 0
+    np.testing.assert_allclose(np.asarray(got[1])[fg],
+                               np.asarray(want[1])[fg], atol=1e-4)
+
+
 def test_empty_rotated_targets():
     tables = generate_anchors_rotated(STRIDE, [1.0], [4.0], [0.0])
     cls, box, depth = snap_to_anchors_rotated(
