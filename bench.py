@@ -118,13 +118,19 @@ def main():
             rot = bench_train(model_cls=Model, rotated=True)
             result['rotated_train_im_s_per_chip'] = rot['train_im_s_per_chip']
             result['rotated_train_step_ms'] = rot['train_step_ms']
+            # dense-small-target variant: same compiled step, data that
+            # stresses the chunked polygon assignment loop
+            rot_s = bench_train(model_cls=Model, rotated=True,
+                                small_targets=True)
+            result['rotated_small24_step_ms'] = rot_s['train_step_ms']
         except Exception as e:  # noqa: BLE001
             result['rotated_train_error'] = str(e)[:200]
 
     print(json.dumps(result))
 
 
-def bench_train(model_cls, batch=8, size=832, steps=24, rotated=False):
+def bench_train(model_cls, batch=8, size=832, steps=24, rotated=False,
+                small_targets=False):
     import jax
     import jax.numpy as jnp
     from odtk_tpu.train import make_optimizer, make_train_step
@@ -144,11 +150,19 @@ def bench_train(model_cls, batch=8, size=832, steps=24, rotated=False):
     data = rng.randn(batch, size, size, 3).astype(np.float32) * 0.5
     ncol = 6 if rotated else 5
     targets = np.full((batch, 32, ncol), -1.0, np.float32)
-    targets[:, :4, :2] = rng.uniform(100, 600, (batch, 4, 2))
-    targets[:, :4, 2:4] = rng.uniform(40, 300, (batch, 4, 2))
+    if small_targets:
+        # COCO-like dense small objects: stresses per-target anchor
+        # assignment (24 in-band targets/image at the fine strides)
+        nt = 24
+        targets[:, :nt, :2] = rng.uniform(50, size - 80, (batch, nt, 2))
+        targets[:, :nt, 2:4] = rng.uniform(10, 45, (batch, nt, 2))
+    else:
+        nt = 4
+        targets[:, :nt, :2] = rng.uniform(100, 600, (batch, nt, 2))
+        targets[:, :nt, 2:4] = rng.uniform(40, 300, (batch, nt, 2))
     if rotated:
-        targets[:, :4, 4] = rng.uniform(-0.7, 0.7, (batch, 4))
-    targets[:, :4, ncol - 1] = rng.randint(0, 80, (batch, 4))
+        targets[:, :nt, 4] = rng.uniform(-0.7, 0.7, (batch, nt))
+    targets[:, :nt, ncol - 1] = rng.randint(0, 80, (batch, nt))
     images, tgts = shard_batch(mesh, data, targets)
 
     def run(k, params, opt_state):
