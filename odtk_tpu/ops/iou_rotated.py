@@ -346,6 +346,14 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
     packed_slot = (order % m).astype(jnp.int32)        # original slot id
     n_act = flat_active.sum().astype(jnp.int32)
     chunk = min(int(chunk), bsz * m)
+    # Pad the packed stream to a chunk multiple so the loop's
+    # dynamic_slice never clamps its start (a clamped window would
+    # apply the wrong rows under the activity mask).
+    pad = (-bsz * m) % chunk
+    if pad:
+        packed_quads = jnp.pad(packed_quads, ((0, pad), (0, 0)))
+        packed_bi = jnp.pad(packed_bi, (0, pad))
+        packed_slot = jnp.pad(packed_slot, (0, pad))
 
     def body(carry):
         j, best_iou, best_slot = carry

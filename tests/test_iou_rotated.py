@@ -103,6 +103,34 @@ def test_sincos_corner_construction():
     np.testing.assert_allclose(got, [2, 3, 10, 3, 10, 7, 2, 7], atol=1e-5)
 
 
+def test_batched_best_match_chunk_invariance():
+    # The chunked stream must give identical results for any chunk
+    # width, including widths that do not divide the packed B*M length
+    # (the last window is padded, never start-clamped).
+    from odtk_tpu.ops.iou_rotated import rotated_best_match_batched
+    rng = np.random.RandomState(11)
+    bsz, m, n = 3, 7, 40
+    subs = np.stack([rot_quad(rng.uniform(0, 40), rng.uniform(0, 40),
+                              rng.uniform(5, 20), rng.uniform(5, 20),
+                              rng.uniform(-1.4, 1.4)).reshape(8)
+                     for _ in range(n)]).astype(np.float32)
+    clips = np.stack([rot_quad(rng.uniform(0, 40), rng.uniform(0, 40),
+                               rng.uniform(5, 20), rng.uniform(5, 20),
+                               rng.uniform(-1.4, 1.4)).reshape(8)
+                      for _ in range(bsz * m)]).astype(np.float32)
+    clips = clips.reshape(bsz, m, 8)
+    valid = np.ones((bsz, m), bool)       # n_act = 21: 5 and 8 don't divide
+    outs = {}
+    for chunk in (5, 8, 21):
+        iou, slot = jax.tree.map(np.asarray, rotated_best_match_batched(
+            jnp.asarray(subs), jnp.asarray(clips), jnp.asarray(valid),
+            chunk=chunk))
+        outs[chunk] = (iou, slot)
+    for chunk in (8, 21):
+        np.testing.assert_allclose(outs[chunk][0], outs[5][0], atol=1e-6)
+        np.testing.assert_array_equal(outs[chunk][1], outs[5][1])
+
+
 def test_best_match_agrees_with_pair_matrix():
     from odtk_tpu.ops.iou_rotated import rotated_best_match
     rng = np.random.RandomState(4)
