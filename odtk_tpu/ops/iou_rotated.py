@@ -298,9 +298,10 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
         stays background w.r.t. it and the skip is exact.
 
     Survivors are processed ``chunk`` at a time: one vmapped clip pass
-    computes [chunk, N] IoUs in a single wide fusion, then chunk tiny
-    [N]-row best-updates apply them in packed (b, m) order (strict >,
-    so winner tie-breaks match the one-at-a-time stream exactly).
+    computes [chunk, N] IoUs in a single wide fusion, then an
+    elementwise [B, N] masked-max merge folds them in packed (b, m)
+    order (strict >, so winner tie-breaks match the one-at-a-time
+    stream exactly) — one fused pass, no serialized per-row updates.
     Profiled on v5e: the one-target-per-iteration while loop cost
     ~2.3 ms per target *independent of clip span* (AABB-windowing the
     pass to 1/3 of the anchors changed nothing) — per-iteration
@@ -364,18 +365,24 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
         act = base + jnp.arange(chunk, dtype=jnp.int32) < n_act
         # one wide fusion for the whole chunk's clip arithmetic
         ious = jax.vmap(lambda q: _clip_iou_one(subj, q))(quads)
+        # Elementwise [B, N] masked-max merge: each chunk element is
+        # broadcast-selected into its batch row and folded with strict >
+        # in packed order (first max wins, matching the one-at-a-time
+        # stream). No per-row dynamic updates — the whole unroll fuses
+        # into one pass over [B, N] instead of a serialized chain of
+        # 2*chunk [1, N] slice/update kernels.
+        rows = bis[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None, :]
+        chunk_iou = jnp.full((bsz, n), -jnp.inf, jnp.float32)
+        chunk_slot = jnp.zeros((bsz, n), jnp.int32)
         for i in range(chunk):                         # static unroll
             iou_i = jnp.where(act[i], ious[i], -jnp.inf)   # [N]
-            bi = bis[i]
-            row_iou = jax.lax.dynamic_slice(best_iou, (bi, 0), (1, n))[0]
-            row_slot = jax.lax.dynamic_slice(best_slot, (bi, 0),
-                                             (1, n))[0]
-            upd = iou_i > row_iou
-            best_iou = jax.lax.dynamic_update_slice(
-                best_iou, jnp.where(upd, iou_i, row_iou)[None], (bi, 0))
-            best_slot = jax.lax.dynamic_update_slice(
-                best_slot, jnp.where(upd, slots[i], row_slot)[None],
-                (bi, 0))
+            cand = jnp.where(rows[i][:, None], iou_i[None, :], -jnp.inf)
+            upd = cand > chunk_iou
+            chunk_slot = jnp.where(upd, slots[i], chunk_slot)
+            chunk_iou = jnp.maximum(chunk_iou, cand)
+        upd = chunk_iou > best_iou
+        best_slot = jnp.where(upd, chunk_slot, best_slot)
+        best_iou = jnp.maximum(best_iou, chunk_iou)
         return j + 1, best_iou, best_slot
 
     init = (jnp.int32(0), jnp.full((bsz, n), -2.0, jnp.float32),
