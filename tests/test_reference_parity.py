@@ -353,6 +353,85 @@ def test_decode_exact_matches_reference():
         np.testing.assert_array_equal(c[bi][order_o], ref_c[bi][order_r])
 
 
+def test_decode_rotated_matches_reference():
+    """Pin rotated decode to the runnable reference pieces.
+
+    box.py's rotated CPU branch is dead code: on GPU builds the CUDA
+    branch returns first (box.py:262-264), and the Python body below it
+    feeds 6-channel deltas into the 4-channel ``delta2box``
+    (box.py:299 -> box.py:96-111), a shape mismatch that raises if ever
+    reached. What actually defines rotated decode is decode_rotate.cu =
+    the axis selection loop fused with the rotated box math. Both pieces
+    ARE runnable individually: the selection semantics (threshold,
+    top-k, NCHW index decomposition under legacy integer division,
+    box.py:276-298) and ``delta2box_rotated`` (box.py:114-131). This
+    test composes exactly those and checks our ``decode(rotated=True,
+    exact=True)`` against the composition.
+    """
+    rng = np.random.RandomState(10)
+    stride, k, top_n, thresh = 16, 3, 32, 0.6
+    table_axis, _ = generate_anchors_rotated(stride, [0.5, 1.0], [4.0],
+                                             ANGLES)
+    a = len(table_axis)
+    b, h, w = 2, 5, 6
+    cls_nchw = rng.uniform(0, 1, (b, a * k, h, w)).astype(np.float32)
+    box_nchw = (rng.randn(b, a * 6, h, w) * 0.15).astype(np.float32)
+
+    ref_s = np.zeros((b, top_n), np.float32)
+    ref_b = np.zeros((b, top_n, 5), np.float32)
+    ref_c = np.zeros((b, top_n), np.float32)
+    for bi in range(b):
+        flat = torch.from_numpy(cls_nchw[bi].reshape(-1))
+        keep = (flat >= thresh).nonzero().view(-1)
+        scores, order = torch.topk(flat[keep], min(top_n, len(keep)))
+        idx = keep[order]
+        # box.py:289-293 under legacy int div: x, y, anchor, class
+        x = idx % w
+        y = torch.div(idx, w, rounding_mode='floor') % h
+        anc = torch.div(idx, k * h * w, rounding_mode='floor')
+        cls = torch.div(idx, h * w, rounding_mode='floor') % k
+        deltas = torch.from_numpy(
+            box_nchw[bi].reshape(a, 6, h, w))[anc, :, y, x]
+        grid = (torch.stack([x, y, x, y], 1).float() * stride
+                + torch.from_numpy(table_axis).float()[anc])
+        boxes = ref_box.delta2box_rotated(deltas, grid, [w, h], stride)
+        n = len(scores)
+        ref_s[bi, :n] = scores.numpy()
+        ref_b[bi, :n] = boxes.numpy()
+        ref_c[bi, :n] = cls.float().numpy()
+
+    s, bx, c = decode(
+        jnp.asarray(np.transpose(cls_nchw, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(box_nchw, (0, 2, 3, 1))),
+        stride=stride, threshold=thresh, top_n=top_n, anchors=table_axis,
+        rotated=True, exact=True)
+    s, bx, c = (np.asarray(x) for x in (s, bx, c))
+    # ours carries raw (sin, cos) like decode_rotate.cu:158-160 and
+    # clamps one-sided like the kernel; fold to the reference's
+    # (theta, two-sided clamp) form for comparison
+    lim = np.array([w * stride - 1, h * stride - 1] * 2, np.float32)
+    bx = np.concatenate(
+        [np.clip(bx[..., :4], 0, lim),
+         np.arctan2(bx[..., 4], bx[..., 5])[..., None]], axis=-1)
+
+    for bi in range(b):
+        n_ref = int((ref_s[bi] > 0).sum())
+        assert n_ref == int((s[bi] > 0).sum()) and n_ref > 0
+        np.testing.assert_allclose(s[bi][:n_ref], ref_s[bi][:n_ref],
+                                   rtol=1e-5, atol=1e-6)
+        # equal-score ties order differently ((a,k,h,w) vs (h,w,a,k)
+        # flat order); compare as canonically sorted detection sets
+        order_o = np.lexsort(np.round(
+            np.concatenate([bx[bi][:n_ref], c[bi][:n_ref, None],
+                            s[bi][:n_ref, None]], 1), 4).T)
+        order_r = np.lexsort(np.round(
+            np.concatenate([ref_b[bi][:n_ref], ref_c[bi][:n_ref, None],
+                            ref_s[bi][:n_ref, None]], 1), 4).T)
+        np.testing.assert_allclose(bx[bi][order_o], ref_b[bi][order_r],
+                                   rtol=1e-4, atol=2e-3)
+        np.testing.assert_array_equal(c[bi][order_o], ref_c[bi][order_r])
+
+
 # ------------------------------------------------------------------- nms
 
 def test_nms_matches_reference():
