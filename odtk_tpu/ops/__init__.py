@@ -12,7 +12,7 @@ from .boxes import (box2delta, box2delta_rotated, delta2box,
                     delta2box_rotated, order_points, rotate_boxes)
 from .assign import (snap_to_anchors, snap_to_anchors_rotated,
                      snap_to_anchors_rotated_batched)
-from .decode import decode
+from .decode import decode, decode_fused
 from .nms import nms, nms_rotated
 from .iou_rotated import polygon_iou, rotated_pair_iou
 from .losses import focal_loss, smooth_l1_loss
@@ -23,7 +23,7 @@ __all__ = [
     'order_points', 'rotate_boxes',
     'snap_to_anchors', 'snap_to_anchors_rotated',
     'snap_to_anchors_rotated_batched',
-    'decode', 'nms', 'nms_rotated',
+    'decode', 'decode_fused', 'nms', 'nms_rotated',
     'polygon_iou', 'rotated_pair_iou',
     'focal_loss', 'smooth_l1_loss',
 ]

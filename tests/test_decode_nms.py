@@ -139,3 +139,92 @@ def test_nms_empty_input():
                   jnp.zeros((1, 16)), ndetections=5)
     assert np.all(np.asarray(s) == 0)
     assert np.all(np.asarray(b) == 0)
+
+
+def _sparse_level_heads(rng, b, hw_list, a, k, nb, n_hot=30):
+    """Logit maps that are strongly negative except a few planted
+    positives — the trained-network regime where fused-global and
+    per-level candidate sets provably coincide."""
+    cls_heads, box_heads = [], []
+    for h, w in hw_list:
+        cls = rng.uniform(-9.0, -7.0, (b, h, w, a * k)).astype(np.float32)
+        box = (rng.randn(b, h, w, a * nb) * 0.1).astype(np.float32)
+        for _ in range(n_hot):
+            bi = rng.randint(b)
+            cls[bi, rng.randint(h), rng.randint(w),
+                rng.randint(a * k)] = rng.uniform(0.5, 4.0)
+        cls_heads.append(jnp.asarray(cls))
+        box_heads.append(jnp.asarray(box))
+    return cls_heads, box_heads
+
+
+def test_decode_fused_matches_per_level_sparse():
+    from odtk_tpu.ops import decode_fused
+
+    rng = np.random.RandomState(11)
+    k, top_n = 4, 50
+    table = generate_anchors(16, [0.5, 1.0, 2.0], [4.0])
+    a = len(table)
+    hw_list = [(12, 16), (6, 8), (3, 4)]
+    strides = [16, 32, 64]
+    tables = [generate_anchors(s, [0.5, 1.0, 2.0], [4.0]) for s in strides]
+    cls_heads, box_heads = _sparse_level_heads(rng, 2, hw_list, a, k, 4)
+
+    per = [decode(ch, bh, s, threshold=0.05, top_n=top_n, anchors=t,
+                  from_logits=True, exact=True)
+           for ch, bh, s, t in zip(cls_heads, box_heads, strides, tables)]
+    ref = nms(jnp.concatenate([p[0] for p in per], 1),
+              jnp.concatenate([p[1] for p in per], 1),
+              jnp.concatenate([p[2] for p in per], 1),
+              0.5, 20, use_pallas=False)
+
+    fs, fb, fc = decode_fused(cls_heads, box_heads, strides, tables,
+                              threshold=0.05, top_n=top_n,
+                              from_logits=True, exact=True)
+    got = nms(fs, fb, fc, 0.5, 20, use_pallas=False)
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+    # a tighter explicit global budget (the model-layer default is
+    # 2*top_n, not top_n*levels) still covers every above-threshold
+    # candidate here, so NMS output is unchanged
+    fs, fb, fc = decode_fused(cls_heads, box_heads, strides, tables,
+                              threshold=0.05, top_n=top_n,
+                              from_logits=True, exact=True,
+                              total_top_n=64)
+    got = nms(fs, fb, fc, 0.5, 20, use_pallas=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_decode_fused_rotated_matches_per_level_sparse():
+    from odtk_tpu.ops import decode_fused, generate_anchors_rotated
+
+    rng = np.random.RandomState(12)
+    k, top_n = 3, 40
+    angles = [-0.4, 0.0, 0.4]
+    strides = [16, 32]
+    tables = [generate_anchors_rotated(s, [1.0], [4.0], angles)[0]
+              for s in strides]
+    a = len(tables[0])
+    hw_list = [(10, 12), (5, 6)]
+    cls_heads, box_heads = _sparse_level_heads(rng, 2, hw_list, a, k, 6)
+
+    per = [decode(ch, bh, s, threshold=0.05, top_n=top_n, anchors=t,
+                  rotated=True, from_logits=True, exact=True)
+           for ch, bh, s, t in zip(cls_heads, box_heads, strides, tables)]
+    ref = nms_rotated(jnp.concatenate([p[0] for p in per], 1),
+                      jnp.concatenate([p[1] for p in per], 1),
+                      jnp.concatenate([p[2] for p in per], 1), 0.5, 15)
+
+    fs, fb, fc = decode_fused(cls_heads, box_heads, strides, tables,
+                              threshold=0.05, top_n=top_n, rotated=True,
+                              from_logits=True, exact=True)
+    got = nms_rotated(fs, fb, fc, 0.5, 15)
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
