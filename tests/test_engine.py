@@ -95,6 +95,25 @@ def test_cpp_engine_container_roundtrip(tmp_path):
     assert len(prog) > 1000
 
 
+def test_rotated_engine_roundtrip(tmp_path):
+    """Rotated models export and reload like axis ones: box_dim=6
+    (sin/cos carried raw through decode, nms_iou.cu conventions) and
+    the engine output matches jit inference bit-for-bit."""
+    m = Model(backbones='ResNet18FPN', classes=3, rotated_bbox=True)
+    m.initialize(rng=0, image_size=(128, 128))
+    path = str(tmp_path / 'rot.engine')
+    export_model(m, (128, 128), precision='fp32', path=path,
+                 dynamic_batch_opts=[1, 1, 1])
+    eng = Engine.load(path)
+    rng = np.random.RandomState(3)
+    imgs = rng.randn(1, 128, 128, 3).astype(np.float32) * 0.1
+    s_e, b_e, c_e = eng(imgs)
+    s_j, b_j, c_j = m.inference_fn(m.variables, jnp.asarray(imgs))
+    assert b_e.shape[-1] == 6
+    np.testing.assert_allclose(s_e, np.asarray(s_j), atol=1e-5)
+    np.testing.assert_allclose(b_e, np.asarray(b_j), atol=1e-4)
+
+
 def test_engine_rejects_bad_magic(tmp_path):
     p = tmp_path / 'junk.engine'
     p.write_bytes(b'not an engine at all')
