@@ -200,6 +200,35 @@ def test_decode_fused_matches_per_level_sparse():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_decode_fused_overflow_keeps_highest_scores():
+    """When more candidates clear the threshold than the global budget,
+    decode_fused keeps the globally highest-scored ones (the documented
+    divergence from the reference's per-level caps)."""
+    from odtk_tpu.ops import decode_fused
+
+    rng = np.random.RandomState(13)
+    k = 4
+    strides = [16, 32]
+    tables = [generate_anchors(s, [1.0], [4.0]) for s in strides]
+    hw_list = [(8, 8), (4, 4)]
+    # every logit is above threshold (sigmoid(1..3) >> 0.05)
+    cls_heads = [jnp.asarray(rng.uniform(1.0, 3.0,
+                                         (1, h, w, k)).astype(np.float32))
+                 for h, w in hw_list]
+    box_heads = [jnp.asarray(np.zeros((1, h, w, 4), np.float32))
+                 for h, w in hw_list]
+
+    budget = 16
+    fs, _, _ = decode_fused(cls_heads, box_heads, strides, tables,
+                            threshold=0.05, top_n=1000, from_logits=True,
+                            exact=True, total_top_n=budget)
+    fs = np.asarray(fs)[0]
+    all_logits = np.concatenate(
+        [np.asarray(ch).reshape(-1) for ch in cls_heads])
+    want = 1.0 / (1.0 + np.exp(-np.sort(all_logits)[::-1][:budget]))
+    np.testing.assert_allclose(fs, want, rtol=1e-6)
+
+
 def test_decode_fused_rotated_matches_per_level_sparse():
     from odtk_tpu.ops import decode_fused, generate_anchors_rotated
 
