@@ -101,6 +101,16 @@ def main():
     except Exception as e:  # noqa: BLE001 — int8 extra must not kill the bench
         result['int8_error'] = str(e)[:200]
 
+    # Batched serving throughput (same graph at b=8): the deployment
+    # regime the reference serves via TRT multi-stream; decode+NMS
+    # included. Reference single-stream rate: 91 FPS (A100 FP16).
+    try:
+        imgs8 = jnp.asarray(rng.randn(8, SIZE[0], SIZE[1], 3), jnp.float32)
+        ms8b = measure(fn, model.variables, imgs8)
+        result['serving_b8_im_s'] = round(8 / ms8b * 1e3, 1)
+    except Exception as e:  # noqa: BLE001
+        result['serving_error'] = str(e)[:200]
+
     # Training throughput (im/s/chip): full train step — fwd, anchor
     # assignment, focal+smoothL1, bwd, SGD update — at the repo's
     # recorded conditions (b=8 @832, PARITY.md). North star:
