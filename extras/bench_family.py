@@ -28,6 +28,7 @@ def main():
     ap.add_argument('--backbones', nargs='+', default=FAMILY)
     ap.add_argument('--batches', type=int, nargs='+', default=[1])
     ap.add_argument('--size', type=int, default=800)
+    ap.add_argument('--rotated', action='store_true')
     args = ap.parse_args()
 
     import jax
@@ -41,7 +42,8 @@ def main():
 
     rng = np.random.RandomState(0)
     for name in args.backbones:
-        model = Model(backbones=name, classes=80, dtype=jnp.bfloat16)
+        model = Model(backbones=name, classes=80, dtype=jnp.bfloat16,
+                      rotated_bbox=args.rotated)
         model.initialize(rng=0, image_size=(256, 256))
         variables = jax.device_put(model.variables)
         fn = jax.jit(model.inference_fn)

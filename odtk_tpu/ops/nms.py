@@ -99,9 +99,22 @@ def nms(all_scores, all_boxes, all_classes, nms_thresh=0.5, ndetections=100,
 
 
 def nms_rotated(all_scores, all_boxes, all_classes, nms_thresh=0.5,
-                ndetections=100):
+                ndetections=100, use_pallas=None):
     """Batched rotated NMS over (x1,y1,x2,y2,sin,cos) boxes
-    (csrc/cuda/nms_iou.cu:260-322 contract)."""
+    (csrc/cuda/nms_iou.cu:260-322 contract).
+
+    On TPU, dispatches to the VMEM-resident Pallas kernel
+    (pallas/nms_rotated_kernel.py) — the jnp fori_loop form below
+    dispatches the ~1.4k-op polygon clip as hundreds of tiny XLA
+    kernels per selection round (~5.8 ms at 5000 candidates on v5e vs
+    ~0.1 ms in-kernel); both share _soa_clip_iou so IoU is identical.
+    """
+    if use_pallas is None:
+        use_pallas = _tpu_backend() and ndetections <= 128
+    if use_pallas:
+        from .pallas import nms_rotated_pallas
+        return nms_rotated_pallas(all_scores, all_boxes, all_classes,
+                                  nms_thresh, ndetections)
     fn = lambda s, b, c: _nms_single(
         s.astype(jnp.float32), b.astype(jnp.float32), c.astype(jnp.float32),
         nms_thresh, ndetections, _rotated_iou_one_vs_all, 6)

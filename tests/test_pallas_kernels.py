@@ -71,6 +71,43 @@ def test_pallas_nms_nonaligned_n(interpret_pallas):
     np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
 
 
+def _random_rotated_case(b, n, classes=5, seed=7):
+    rng = np.random.RandomState(seed)
+    scores = np.where(rng.rand(b, n) > 0.7, rng.rand(b, n), 0).astype(
+        np.float32)
+    xy = rng.uniform(0, 600, (b, n, 2))
+    wh = rng.uniform(8, 100, (b, n, 2))
+    theta = rng.uniform(-0.8, 0.8, (b, n, 1))
+    boxes = np.concatenate([xy, xy + wh, np.sin(theta), np.cos(theta)],
+                           -1).astype(np.float32)
+    cls = rng.randint(0, classes, (b, n)).astype(np.float32)
+    return scores, boxes, cls
+
+
+def test_pallas_nms_rotated_matches_reference():
+    from odtk_tpu.ops import nms_rotated
+    from odtk_tpu.ops.pallas import nms_rotated_pallas
+    scores, boxes, cls = _random_rotated_case(2, 300)
+    ref = jax.tree.map(np.asarray, nms_rotated(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls),
+        0.5, 30, use_pallas=False))
+    got = jax.tree.map(np.asarray, nms_rotated_pallas(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(cls),
+        0.5, 30, interpret=True))
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-4)
+    np.testing.assert_allclose(got[2], ref[2], atol=1e-6)
+
+
+def test_pallas_nms_rotated_empty():
+    from odtk_tpu.ops.pallas import nms_rotated_pallas
+    s, b, c = (jnp.zeros((1, 256)), jnp.zeros((1, 256, 6)),
+               jnp.zeros((1, 256)))
+    out = jax.tree.map(np.asarray, nms_rotated_pallas(
+        s, b, c, 0.5, 20, interpret=True))
+    assert all((o == 0).all() for o in out)
+
+
 def test_pallas_rotated_best_match_matches_reference(monkeypatch):
     """Interpret-mode parity of the Pallas polygon-IoU best-match kernel
     against the jnp plane-parallel reference."""
