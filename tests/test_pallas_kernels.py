@@ -108,6 +108,23 @@ def test_pallas_nms_rotated_empty():
     assert all((o == 0).all() for o in out)
 
 
+def test_nms_rotated_large_ndetections_uses_jnp_path(monkeypatch):
+    """ndetections > 128 exceeds the kernel's one-lane-vector output;
+    the dispatcher must fall back to the jnp twin, never the kernel."""
+    import importlib
+    nms_mod = importlib.import_module('odtk_tpu.ops.nms')
+
+    def boom(*a, **k):
+        raise AssertionError('pallas kernel must not be selected')
+
+    monkeypatch.setattr('odtk_tpu.ops.pallas.nms_rotated_pallas', boom)
+    monkeypatch.setattr(nms_mod, '_tpu_backend', lambda: True)
+    scores, boxes, cls = _random_rotated_case(1, 300)
+    out = nms_mod.nms_rotated(jnp.asarray(scores), jnp.asarray(boxes),
+                              jnp.asarray(cls), 0.5, 200)
+    assert out[0].shape == (1, 200)
+
+
 def test_pallas_rotated_best_match_matches_reference(monkeypatch):
     """Interpret-mode parity of the Pallas polygon-IoU best-match kernel
     against the jnp plane-parallel reference."""
