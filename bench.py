@@ -111,6 +111,20 @@ def main():
     except Exception as e:  # noqa: BLE001
         result['serving_error'] = str(e)[:200]
 
+    # Rotated-box b=1 inference: same pipeline with 6-channel boxes and
+    # the Pallas rotated NMS kernel (polygon clip in VMEM) in-graph.
+    if os.environ.get('ODTK_BENCH_ROTATED', '1') != '0':
+        try:
+            rmodel = Model(backbones='ResNet50FPN', classes=80,
+                           dtype=jnp.bfloat16, rotated_bbox=True)
+            rmodel.initialize(rng=0, image_size=(256, 256))
+            rvars = jax.device_put(rmodel.variables)
+            rfn = jax.jit(rmodel.inference_fn)
+            msr = measure(rfn, rvars, images)
+            result['rotated_b1_800_e2e_ms'] = round(msr, 3)
+        except Exception as e:  # noqa: BLE001
+            result['rotated_infer_error'] = str(e)[:200]
+
     # Training throughput (im/s/chip): full train step — fwd, anchor
     # assignment, focal+smoothL1, bwd, SGD update — at the repo's
     # recorded conditions (b=8 @832, PARITY.md). North star:

@@ -59,9 +59,104 @@ class CocoIndex:
         return cls(dataset={'images': images})
 
 
+# fused eval normalization: raw 0..255 -> (x/255 - mean)/std
+_EVAL_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
+_EVAL_OFFSET = (-IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+_GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+
+def _normalize_eval(arr):
+    """Raw 0..255 float32 [H,W,3] -> ImageNet-normalized, in place.
+
+    Per-column strided scalar ops: numpy's [3]-broadcast forms run a
+    3-element inner loop with no SIMD (~5x slower at these sizes).
+    """
+    flat = arr.reshape(-1, 3)
+    for ch in range(3):
+        col = flat[:, ch]
+        col *= _EVAL_SCALE[ch]
+        col += _EVAL_OFFSET[ch]
+    return flat.reshape(arr.shape)
+# clip bounds of the [0,1] pixel range, expressed post-normalization
+_CLIP_LO = ((0.0 - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+_CLIP_HI = ((1.0 - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
+def _hue_matrix(f):
+    """Right-multiplication RGB matrix rotating hue by ``f`` turns.
+
+    Rotation happens in YIQ space, whose luma axis is the fixed point —
+    neutral pixels (r=g=b) are exactly preserved, which is what lets
+    the hue op fold into the single affine color transform below.
+    Deliberate divergence from the reference's HSV-space rotation
+    (data.py:103-109 via torchvision adjust_hue): at the default jitter
+    strength (sigma 2e-4 of a turn) the two agree to ~1e-3 pixel units,
+    and the YIQ form is one 3x3 matmul instead of two colorspace
+    conversion passes per image.
+    """
+    th = 2.0 * math.pi * f
+    u, w = math.cos(th), math.sin(th)
+    m = np.asarray([[0.299, 0.587, 0.114],
+                    [0.596, -0.274, -0.322],
+                    [0.211, -0.523, 0.312]], np.float64)
+    rot = np.asarray([[1, 0, 0], [0, u, -w], [0, w, u]], np.float64)
+    return (np.linalg.inv(m) @ rot @ m).T
+
+
+def _color_jitter_normalize(arr, brightness, contrast, hue, saturation):
+    """Fused color jitter + ImageNet normalization.
+
+    Input: float32 [H,W,3] RGB in 0..255 (decode output). Output: the
+    normalized float32 array the model consumes. Matches the reference's
+    sequential chain (data.py:92-109 then normalize): brightness gain
+    fb, contrast blend toward mean gray fc, saturation blend toward
+    per-pixel gray fs, hue rotation, clip to [0,1], (x-mean)/std.
+
+    Every step is affine in the pixel vector, so the whole chain folds
+    into  out = clip(arr @ T + gray(arr)[...,None] * B + C)  — one 3x3
+    matmul, one gray blend, one offset+clip — instead of ~12 allocating
+    full-image passes plus an HSV round-trip. Derivation: with
+    x0 = arr/255, g0 = gray(x0), m0 = mean(g0),
+      x3 = fb*fc*fs*x0 + fb*fc*(1-fs)*g0[...,None] + fb*(1-fc)*m0
+    and the YIQ hue rotation H fixes both the neutral axis (g0 term)
+    and constants, so x4 = x0 @ (A*H) + B*g0[...,None] + C with
+    A = fb*fc*fs, B = fb*fc*(1-fs), C = fb*(1-fc)*m0.
+    """
+    fb = max(0.0, random.normalvariate(1, brightness)) if brightness else 1.0
+    fc = max(0.0, random.normalvariate(1, contrast)) if contrast else 1.0
+    fs = max(0.0, random.normalvariate(1, saturation)) if saturation else 1.0
+    fh = (float(np.clip(random.normalvariate(0, hue), -0.5, 0.5))
+          if hue else 0.0)
+
+    a = fb * fc * fs
+    b = fb * fc * (1.0 - fs)
+    flat = arr.reshape(-1, 3)
+    c = 0.0
+    if fc != 1.0:
+        # BLAS matvec + contiguous mean; a column-wise flat.mean(0)
+        # reduce is ~10x slower than this at image sizes
+        c = fb * (1.0 - fc) * float((flat @ _GRAY).mean()) / 255.0
+
+    # gray blend g0[...,None]*b == x0 @ outer(_GRAY, b*ones): rank-1,
+    # so the whole chain is ONE [N,3]@[3,3] BLAS pass ...
+    t = _hue_matrix(fh) * a if fh else np.eye(3) * a
+    t = t + np.outer(_GRAY, np.full(3, b))
+    t = (t / (255.0 * IMAGENET_STD[None, :])).astype(np.float32)
+    out = flat @ t
+    # ... plus per-column offset/clip — strided scalar ops beat numpy's
+    # last-axis [3]-broadcast forms ~5x (3-element inner loop, no SIMD)
+    off = (c - IMAGENET_MEAN) / IMAGENET_STD
+    for ch in range(3):
+        col = out[:, ch]
+        col += np.float32(off[ch])
+        np.clip(col, _CLIP_LO[ch], _CLIP_HI[ch], out=col)
+    return out.reshape(arr.shape)
+
+
 def _adjust_colors(arr, brightness, contrast, hue, saturation):
     """Gaussian color jitter on a float [H,W,3] array in [0,1]
-    (reference samples: data.py:92-109)."""
+    (reference samples: data.py:92-109). Sequential reference twin of
+    _color_jitter_normalize, kept for parity tests."""
     if brightness:
         f = max(0.0, random.normalvariate(1, brightness))
         arr = arr * f
@@ -91,7 +186,8 @@ def round_up(v, m):
 class CocoDataset:
     """Axis-aligned detection dataset.
 
-    __getitem__ -> (image [H,W,3] float32 normalized+padded,
+    __getitem__ -> (image [H,W,3] float32 normalized (padding is the
+                    loader's job, at batch collation),
                     target [n,5] (x,y,w,h,class)) when training,
                    (image, id, ratio) otherwise.
     """
@@ -287,18 +383,14 @@ class CocoDataset:
             boxes[:, 1] = np.clip(boxes[:, 1], 0, h - 1)
             boxes[:, 2] = np.maximum(hi_x - boxes[:, 0], 1e-3)
             boxes[:, 3] = np.maximum(hi_y - boxes[:, 1], 1e-3)
+            arr = _color_jitter_normalize(
+                arr, self.augment_brightness, self.augment_contrast,
+                self.augment_hue, self.augment_saturation)
             arr, boxes = self._geometric_augment(arr, boxes)
-            arr = _adjust_colors(arr / 255.0, self.augment_brightness,
-                                 self.augment_contrast, self.augment_hue,
-                                 self.augment_saturation)
-            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
             target = np.concatenate([boxes, categories], axis=1)
-            h, w = arr.shape[:2]
-            ph = round_up(h, self.stride) - h
-            pw = round_up(w, self.stride) - w
-            if ph or pw:
-                arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
-            return arr.astype(np.float32), target
+            # stride padding happens once at batch collation
+            # (loader._pad_batch), not per image
+            return arr, target
 
         # training interleaves color jitter between decode and normalize,
         # so the fused native normalize is only used at eval time
@@ -308,25 +400,24 @@ class CocoDataset:
         if self.training:
             boxes, categories = self._get_target(img_id)
             boxes = self._scale_boxes(boxes, ratio)
+            # color first: the jitter matmul wants the contiguous decode
+            # output (a flipped view is ~4x slower through BLAS), and the
+            # pixelwise color ops commute with flips/rotations
+            arr = _color_jitter_normalize(
+                arr, self.augment_brightness, self.augment_contrast,
+                self.augment_hue, self.augment_saturation)
             arr, boxes = self._geometric_augment(arr, boxes)
-            arr = _adjust_colors(arr / 255.0, self.augment_brightness,
-                                 self.augment_contrast, self.augment_hue,
-                                 self.augment_saturation)
-            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
             target = np.concatenate([boxes, categories], axis=1)
         elif not normalized:
-            arr = (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            arr = _normalize_eval(arr)
 
-        # stride padding (data.py:122-123)
-        h, w = arr.shape[:2]
-        ph = round_up(h, self.stride) - h
-        pw = round_up(w, self.stride) - w
-        if ph or pw:
-            arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
-
+        # The reference pads each image to the stride here
+        # (data.py:122-123); we defer all padding to batch collation
+        # (loader._pad_batch rounds the batch max up to the stride), so
+        # the image is copied exactly once into the batch canvas.
         if self.training:
-            return arr.astype(np.float32), target
-        return arr.astype(np.float32), img_id, ratio
+            return arr, target
+        return np.asarray(arr, np.float32), img_id, ratio
 
     def _scale_boxes(self, boxes, ratio):
         boxes = boxes.copy()

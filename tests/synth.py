@@ -16,7 +16,7 @@ COLORS = [(255, 60, 60), (60, 255, 60), (60, 60, 255)]
 
 
 def make_dataset(root, n_images=8, size=(160, 200), max_boxes=3, seed=0,
-                 rotated=False):
+                 rotated=False, fmt='png'):
     """Returns (images_dir, annotations_path)."""
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, 'images')
@@ -53,8 +53,9 @@ def make_dataset(root, n_images=8, size=(160, 200), max_boxes=3, seed=0,
                 'id': ann_id, 'image_id': i, 'category_id': cls + 1,
                 'bbox': bbox, 'area': bw * bh, 'iscrowd': 0})
             ann_id += 1
-        name = f'img_{i:03d}.png'
-        im.save(os.path.join(img_dir, name))
+        name = f'img_{i:03d}.{fmt}'
+        im.save(os.path.join(img_dir, name),
+                **({'quality': 90} if fmt == 'jpg' else {}))
         images.append({'id': i, 'file_name': name, 'width': w, 'height': h})
     dataset = {
         'images': images, 'annotations': annotations,

@@ -19,7 +19,9 @@ def test_dataset_item_shapes(dataset_dir):
                      annotations=ann, training=True)
     arr, target = ds[0]
     assert arr.ndim == 3 and arr.shape[2] == 3
-    assert arr.shape[0] % 64 == 0 and arr.shape[1] % 64 == 0
+    # images come back at their exact resized size; stride padding is
+    # applied once at batch collation (loader._pad_batch)
+    assert arr.shape[:2] == (128, 160)   # 160x200 source, shorter side -> 128
     assert target.shape[1] == 5
     # normalized: mean roughly centered, not raw 0..255
     assert abs(arr.mean()) < 5
@@ -146,9 +148,9 @@ def test_crop_augment(dataset_dir):
     saw_crop = False
     for _ in range(20):
         arr, target = ds[0]
-        assert arr.ndim == 3 and arr.shape[0] % 32 == 0
+        assert arr.ndim == 3 and arr.shape[2] == 3
         valid = target[target[:, 4] > -1]
-        # surviving boxes must lie inside the (resized, padded) canvas
+        # surviving boxes must lie inside the resized canvas
         if len(valid):
             assert (valid[:, 0] >= -1e-3).all()
             assert (valid[:, 1] >= -1e-3).all()
@@ -169,3 +171,41 @@ def test_crop_augment_rejected_for_rotated(dataset_dir):
         RotatedCocoDataset(img_dir, resize=96, max_size=192, stride=32,
                            annotations=ann, training=True,
                            crop_augment=True)
+
+
+def test_fused_color_jitter_matches_sequential_reference():
+    """_color_jitter_normalize folds brightness/contrast/saturation/clip/
+    normalize into one affine pass; with identical random draws it must
+    equal the sequential twin (_adjust_colors then normalize)."""
+    import random as pyrandom
+    from odtk_tpu.data.coco import (_adjust_colors, _color_jitter_normalize,
+                                    IMAGENET_MEAN, IMAGENET_STD)
+    rng = np.random.RandomState(0)
+    arr = rng.uniform(0, 255, (37, 53, 3)).astype(np.float32)
+    strengths = (0.4, 0.3, 0.0, 0.5)     # hue=0: YIQ vs HSV divergence
+    pyrandom.seed(11)
+    want = _adjust_colors(arr / 255.0, *strengths)
+    want = (want - IMAGENET_MEAN) / IMAGENET_STD
+    pyrandom.seed(11)
+    got = _color_jitter_normalize(arr, *strengths)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_hue_rotation_properties():
+    """YIQ hue rotation: neutral pixels fixed, inverse angle composes to
+    identity, small default-strength angles are near-identity."""
+    from odtk_tpu.data.coco import _hue_matrix
+    h = _hue_matrix(0.23)
+    np.testing.assert_allclose(np.ones(3) @ h, np.ones(3), atol=1e-6)
+    np.testing.assert_allclose(h @ _hue_matrix(-0.23), np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(_hue_matrix(3e-4), np.eye(3), atol=5e-3)
+
+
+def test_color_jitter_zero_strengths_is_plain_normalize():
+    from odtk_tpu.data.coco import (_color_jitter_normalize,
+                                    IMAGENET_MEAN, IMAGENET_STD)
+    rng = np.random.RandomState(1)
+    arr = rng.uniform(0, 255, (16, 24, 3)).astype(np.float32)
+    got = _color_jitter_normalize(arr, 0.0, 0.0, 0.0, 0.0)
+    want = (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(got, want, atol=1e-5)

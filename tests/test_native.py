@@ -67,8 +67,8 @@ def test_dataset_uses_native_for_jpeg(tmp_path):
     ds = CocoDataset(str(tmp_path), resize=48, max_size=96, stride=32,
                      annotations=None, training=False)
     arr, img_id, ratio = ds[0]
-    assert arr.shape[0] % 32 == 0 and arr.shape[1] % 32 == 0
-    assert abs(arr.mean()) < 5       # normalized
+    assert min(arr.shape[:2]) == 48   # exact resize; loader pads at collate
+    assert abs(arr.mean()) < 5        # normalized
 
 
 def test_rot90_same_canvas_matches_pil():
