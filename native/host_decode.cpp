@@ -39,11 +39,25 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Bilinear resize RGB u8 -> RGB float (0..255 scale kept).
-void resize_bilinear(const uint8_t* src, int sh, int sw, float* dst, int dh,
-                     int dw) {
+// Bilinear resize RGB u8 -> RGB float, writing straight into a
+// row-pitched destination with an optional fused per-channel affine
+// (normalize): out = v * scale[c] + offset[c]. The x-axis source
+// indices/weights are loop-invariant across rows, so they are
+// precomputed once — the inner loop is pure multiply-add.
+void resize_bilinear_fused(const uint8_t* src, int sh, int sw, float* dst,
+                           int dh, int dw, int pitch_w, const float* scale,
+                           const float* offset) {
   const float sy = static_cast<float>(sh) / dh;
   const float sx = static_cast<float>(sw) / dw;
+  std::vector<int> xi0(dw), xi1(dw);
+  std::vector<float> xw(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    xw[x] = fx - x0;
+    xi1[x] = std::min(x0 + 1, sw - 1) * 3;
+    xi0[x] = std::max(x0, 0) * 3;
+  }
   for (int y = 0; y < dh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = static_cast<int>(std::floor(fy));
@@ -52,30 +66,28 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, float* dst, int dh,
     y0 = std::max(y0, 0);
     const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * 3;
     const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * 3;
-    float* out = dst + static_cast<size_t>(y) * dw * 3;
+    float* out = dst + static_cast<size_t>(y) * pitch_w * 3;
     for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = static_cast<int>(std::floor(fx));
-      float wx = fx - x0;
-      int x1 = std::min(x0 + 1, sw - 1);
-      x0 = std::max(x0, 0);
+      const float wx = xw[x];
+      const uint8_t* p00 = row0 + xi0[x];
+      const uint8_t* p01 = row0 + xi1[x];
+      const uint8_t* p10 = row1 + xi0[x];
+      const uint8_t* p11 = row1 + xi1[x];
       for (int c = 0; c < 3; ++c) {
-        float v00 = row0[x0 * 3 + c], v01 = row0[x1 * 3 + c];
-        float v10 = row1[x0 * 3 + c], v11 = row1[x1 * 3 + c];
-        float top = v00 + (v01 - v00) * wx;
-        float bot = v10 + (v11 - v10) * wx;
-        out[x * 3 + c] = top + (bot - top) * wy;
+        float top = p00[c] + (p01[c] - p00[c]) * wx;
+        float bot = p10[c] + (p11[c] - p10[c]) * wx;
+        out[x * 3 + c] = (top + (bot - top) * wy) * scale[c] + offset[c];
       }
     }
   }
 }
 
-void normalize_inplace(float* data, size_t pixels) {
-  for (size_t i = 0; i < pixels; ++i) {
-    float* px = data + i * 3;
-    for (int c = 0; c < 3; ++c) {
-      px[c] = (px[c] / 255.0f - kMean[c]) / kStd[c];
-    }
+// scale/offset pairs for the fused affine: identity (keep 0..255) or
+// ImageNet normalization ((v/255 - mean) / std).
+void affine_params(int normalize, float* scale, float* offset) {
+  for (int c = 0; c < 3; ++c) {
+    scale[c] = normalize ? 1.0f / (255.0f * kStd[c]) : 1.0f;
+    offset[c] = normalize ? -kMean[c] / kStd[c] : 0.0f;
   }
 }
 
@@ -138,18 +150,22 @@ int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
   th = std::max(1, std::min(th, out_h_pad));
   tw = std::max(1, std::min(tw, out_w_pad));
 
-  std::vector<float> resized(static_cast<size_t>(th) * tw * 3);
-  resize_bilinear(rgb.data(), dh, dw, resized.data(), th, tw);
-  if (normalize) {
-    normalize_inplace(resized.data(), static_cast<size_t>(th) * tw);
+  // resize+normalize straight into the pitched output; zero only the
+  // padding margins (right strip of each image row + full bottom rows)
+  float aff_s[3], aff_o[3];
+  affine_params(normalize, aff_s, aff_o);
+  resize_bilinear_fused(rgb.data(), dh, dw, out, th, tw, out_w_pad, aff_s,
+                        aff_o);
+  if (tw < out_w_pad) {
+    for (int y = 0; y < th; ++y) {
+      std::memset(out + (static_cast<size_t>(y) * out_w_pad + tw) * 3, 0,
+                  static_cast<size_t>(out_w_pad - tw) * 3 * sizeof(float));
+    }
   }
-
-  std::memset(out, 0,
-              static_cast<size_t>(out_h_pad) * out_w_pad * 3 * sizeof(float));
-  for (int y = 0; y < th; ++y) {
-    std::memcpy(out + static_cast<size_t>(y) * out_w_pad * 3,
-                resized.data() + static_cast<size_t>(y) * tw * 3,
-                static_cast<size_t>(tw) * 3 * sizeof(float));
+  if (th < out_h_pad) {
+    std::memset(out + static_cast<size_t>(th) * out_w_pad * 3, 0,
+                static_cast<size_t>(out_h_pad - th) * out_w_pad * 3 *
+                    sizeof(float));
   }
   *out_h = th;
   *out_w = tw;
@@ -162,11 +178,9 @@ int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
 // by the Python fallback.
 int odtk_resize_normalize(const uint8_t* rgb, int h, int w, float* out,
                           int out_h, int out_w, int normalize) {
-  std::vector<float> resized(static_cast<size_t>(out_h) * out_w * 3);
-  resize_bilinear(rgb, h, w, resized.data(), out_h, out_w);
-  if (normalize)
-    normalize_inplace(resized.data(), static_cast<size_t>(out_h) * out_w);
-  std::memcpy(out, resized.data(), resized.size() * sizeof(float));
+  float scale[3], offset[3];
+  affine_params(normalize, scale, offset);
+  resize_bilinear_fused(rgb, h, w, out, out_h, out_w, out_w, scale, offset);
   return 0;
 }
 
