@@ -13,6 +13,7 @@ Sharding follows DistributedSampler semantics (data.py:202): a
 per-epoch permutation is split contiguously across ``world`` processes.
 """
 
+import os
 import queue
 import random
 import threading
@@ -77,7 +78,9 @@ class DataIterator:
         self.max_det = max_det
         self.fixed_size = fixed_size
         self.shuffle = training if shuffle is None else shuffle
-        self.num_threads = max(1, num_threads)
+        # more threads than cores only adds GIL/queue contention
+        # (measured ~10% slower at 2 threads on a 1-core host)
+        self.num_threads = max(1, min(num_threads, os.cpu_count() or 1))
         self.prefetch = prefetch
         self.epoch = 0
         self.seed = seed
@@ -132,8 +135,7 @@ class DataIterator:
                 except queue.Empty:
                     return
                 try:
-                    samples = [self.dataset[i] for i in batch_ids]
-                    out_q.put((bi, self._collate(samples)))
+                    out_q.put((bi, self._make_batch(batch_ids)))
                 except Exception as e:  # noqa: BLE001 — must reach main
                     # a silently-dead worker would leave the consumer
                     # blocked on out_q.get() forever; ship the error
@@ -157,6 +159,67 @@ class DataIterator:
                 continue
             bi, item = out_q.get()
             pending[bi] = item
+
+    def _make_batch(self, batch_ids):
+        if not self.training:
+            fast = self._collate_eval_native(batch_ids)
+            if fast is not None:
+                return fast
+        samples = [self.dataset[i] for i in batch_ids]
+        return self._collate(samples)
+
+    def _collate_eval_native(self, batch_ids):
+        """Zero-copy eval batching: JPEGs decode straight into rows of
+        the batch canvas (native resize+normalize writes at the canvas
+        pitch and zeroes the margins itself), skipping the per-image
+        buffer and the _pad_batch copy. Returns None when any image
+        can't take the fast path; the caller falls back to the
+        per-sample route."""
+        from . import native
+        if not native.available():
+            return None
+        ds = self.dataset
+        if not isinstance(ds.resize, (int, float)):
+            return None     # jittered resize draws per sample
+        metas = []
+        for i in batch_ids:
+            img_id = ds.ids[i]
+            name = ds.coco.imgs[img_id]['file_name']
+            if not name.lower().endswith(('.jpg', '.jpeg')):
+                return None
+            full = os.path.join(ds.path, name)
+            try:
+                from PIL import Image
+                with Image.open(full) as probe:
+                    w0, h0 = probe.size
+            except Exception:  # noqa: BLE001 — unreadable -> slow path
+                return None
+            ratio = ds.resize / min(w0, h0)
+            if ratio * max(w0, h0) > ds.max_size:
+                ratio = ds.max_size / max(w0, h0)
+            th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+            metas.append((img_id, full, th, tw, ratio))
+
+        if self.fixed_size is not None:
+            canvas_h, canvas_w = self.fixed_size
+            if any(th > canvas_h or tw > canvas_w for _, _, th, tw, _
+                   in metas):
+                raise ValueError(
+                    f'images resize beyond the fixed engine size '
+                    f'{self.fixed_size}')
+        else:
+            canvas_h = round_up(max(m[2] for m in metas), self.stride)
+            canvas_w = round_up(max(m[3] for m in metas), self.stride)
+        canvas = np.empty((len(metas), canvas_h, canvas_w, 3), np.float32)
+        for row, (_, full, _, _, _) in zip(canvas, metas):
+            with open(full, 'rb') as f:
+                data = f.read()
+            if native.decode_jpeg(data, ds.resize, ds.max_size,
+                                  normalize=True, out=row) is None:
+                return None
+        ids = np.asarray([m[0] for m in metas], np.int64)
+        ratios = np.asarray([m[4] for m in metas], np.float32)
+        return canvas, ids, ratios
 
     def _collate(self, samples):
         if self.training:

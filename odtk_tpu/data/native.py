@@ -66,15 +66,24 @@ def available():
     return _load() is not None
 
 
-def decode_jpeg(data, resize, max_size, pad_to=None, normalize=True):
+def decode_jpeg(data, resize, max_size, pad_to=None, normalize=True,
+                out=None):
     """JPEG bytes -> (float32 [th|pad_h, tw|pad_w, 3], th, tw, ratio)
-    or None if the native path is unavailable/failed."""
+    or None if the native path is unavailable/failed.
+
+    ``out``: optional caller-provided contiguous float32 [H,W,3] buffer
+    (e.g. one row of a batch canvas) decoded into directly — the image
+    lands top-left, margins zeroed, no intermediate copy."""
     lib = _load()
     if lib is None:
         return None
-    # worst-case resized dims bound the output allocation
-    pad_h, pad_w = pad_to if pad_to else (max_size, max_size)
-    out = np.empty((pad_h, pad_w, 3), np.float32)
+    if out is not None:
+        assert out.dtype == np.float32 and out.flags.c_contiguous
+        pad_h, pad_w = out.shape[:2]
+    else:
+        # worst-case resized dims bound the output allocation
+        pad_h, pad_w = pad_to if pad_to else (max_size, max_size)
+        out = np.empty((pad_h, pad_w, 3), np.float32)
     oh = ctypes.c_int()
     ow = ctypes.c_int()
     ratio = ctypes.c_float()

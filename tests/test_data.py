@@ -209,3 +209,24 @@ def test_color_jitter_zero_strengths_is_plain_normalize():
     got = _color_jitter_normalize(arr, 0.0, 0.0, 0.0, 0.0)
     want = (arr / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_eval_native_fast_path_matches_slow_path(tmp_path):
+    """Decode-into-canvas eval batching must produce bit-identical
+    batches to the per-sample decode + _pad_batch route."""
+    from odtk_tpu.data import native
+    if not native.available():
+        pytest.skip('native lib unavailable')
+    img_dir, ann = make_dataset(str(tmp_path), n_images=5, size=(160, 200),
+                                fmt='jpg')
+    kw = dict(resize=128, max_size=256, batch_size=2, stride=64, world=1,
+              annotations=ann, training=False, num_threads=1, shuffle=False)
+    fast = list(DataIterator(img_dir, **kw))
+    slow_it = DataIterator(img_dir, **kw)
+    slow_it._collate_eval_native = lambda batch_ids: None
+    slow = list(slow_it)
+    assert len(fast) == len(slow)
+    for (fd, fi, fr), (sd, si, sr) in zip(fast, slow):
+        np.testing.assert_array_equal(fd, sd)
+        np.testing.assert_array_equal(fi, si)
+        np.testing.assert_array_equal(fr, sr)
