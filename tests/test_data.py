@@ -230,3 +230,21 @@ def test_eval_native_fast_path_matches_slow_path(tmp_path):
         np.testing.assert_array_equal(fd, sd)
         np.testing.assert_array_equal(fi, si)
         np.testing.assert_array_equal(fr, sr)
+
+
+def test_eval_native_fast_path_fixed_size(tmp_path):
+    """Engine-sized eval batches use the fixed canvas; oversized images
+    raise (same contract as the slow path)."""
+    from odtk_tpu.data import native
+    if not native.available():
+        pytest.skip('native lib unavailable')
+    img_dir, ann = make_dataset(str(tmp_path), n_images=3, size=(160, 200),
+                                fmt='jpg')
+    kw = dict(resize=128, max_size=256, batch_size=3, stride=64, world=1,
+              annotations=ann, training=False, num_threads=1)
+    it = DataIterator(img_dir, fixed_size=(192, 192), **kw)
+    data, ids, ratios = next(iter(it))
+    assert data.shape == (3, 192, 192, 3)
+    too_small = DataIterator(img_dir, fixed_size=(64, 64), **kw)
+    with pytest.raises(ValueError):
+        next(iter(too_small))
