@@ -55,6 +55,7 @@ def measure(fn, *args):
 
 def main():
     import os
+    import threading
     import jax
     import jax.numpy as jnp
     from odtk_tpu.model import Model
@@ -66,6 +67,32 @@ def main():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass
+
+    # The tunneled TPU backend can wedge for an hour+ after a client is
+    # killed mid-claim; a hung jax.devices() would stall the harness
+    # silently. Probe init on a daemon thread and fail loudly instead.
+    ready = threading.Event()
+    state = {}
+
+    def _probe():
+        try:
+            jax.devices()
+            state['ok'] = True
+        except Exception as e:  # noqa: BLE001 — reported below
+            state['err'] = str(e)[:200]
+        finally:
+            ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    ready.wait(float(os.environ.get('ODTK_BENCH_INIT_TIMEOUT', '900')))
+    if 'ok' not in state:
+        print(json.dumps({
+            'metric': 'resnet50fpn_b1_800_e2e_latency', 'value': None,
+            'unit': 'ms', 'vs_baseline': None,
+            'error': state.get('err', 'TPU backend init timed out '
+                                      '(chip claim unavailable)'),
+        }))
+        os._exit(1)
 
     model = Model(backbones='ResNet50FPN', classes=80, dtype=jnp.bfloat16)
     model.initialize(rng=0, image_size=(256, 256))
