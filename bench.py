@@ -83,6 +83,9 @@ def main():
         finally:
             ready.set()
 
+    # Host pipeline throughput first: CPU-only, reported either way.
+    host = bench_host_loader()
+
     threading.Thread(target=_probe, daemon=True).start()
     ready.wait(float(os.environ.get('ODTK_BENCH_INIT_TIMEOUT', '900')))
     if 'ok' not in state:
@@ -91,6 +94,7 @@ def main():
             'unit': 'ms', 'vs_baseline': None,
             'error': state.get('err', 'TPU backend init timed out '
                                       '(chip claim unavailable)'),
+            **host,
         }))
         os._exit(1)
 
@@ -107,6 +111,7 @@ def main():
         'value': round(ms, 3),
         'unit': 'ms',
         'vs_baseline': round(BASELINE_MS / ms, 3),
+        **host,
     }
 
     # INT8 engine path (w8a16: int8 weights dequantized in-graph, bf16
@@ -178,6 +183,46 @@ def main():
             result['rotated_train_error'] = str(e)[:200]
 
     print(json.dumps(result))
+
+
+def bench_host_loader():
+    """CPU-only host data-pipeline throughput (the DALI-equivalent
+    path: native JPEG decode -> augment -> batch canvas), reported
+    whether or not the TPU is reachable."""
+    try:
+        import os
+        import sys
+        import tempfile
+        import time as _time
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'tests'))
+        from synth import make_dataset
+        from odtk_tpu.data.loader import DataIterator
+
+        out = {}
+        with tempfile.TemporaryDirectory() as root:
+            img_dir, anns = make_dataset(root, n_images=64,
+                                         size=(640, 640), max_boxes=4,
+                                         fmt='jpg')
+            for training, key in ((False, 'host_loader_eval_im_s'),
+                                  (True, 'host_loader_train_im_s')):
+                augs = dict(augment_brightness=0.002,
+                            augment_contrast=0.002, augment_hue=0.0002,
+                            augment_saturation=0.002) if training else {}
+                it = DataIterator(img_dir, resize=832, max_size=1024,
+                                  batch_size=8, stride=128, world=1,
+                                  annotations=anns, training=training,
+                                  **augs)
+                for b in it:            # warm epoch
+                    pass
+                n, t0 = 0, _time.perf_counter()
+                for _ in range(2):
+                    for b in it:
+                        n += b[0].shape[0]
+                out[key] = round(n / (_time.perf_counter() - t0), 1)
+        return out
+    except Exception as e:  # noqa: BLE001 — host bench must not kill it
+        return {'host_loader_error': str(e)[:200]}
 
 
 def bench_train(model_cls, batch=8, size=832, steps=24, rotated=False,
