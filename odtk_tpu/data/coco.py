@@ -89,10 +89,11 @@ def _hue_matrix(f):
     neutral pixels (r=g=b) are exactly preserved, which is what lets
     the hue op fold into the single affine color transform below.
     Deliberate divergence from the reference's HSV-space rotation
-    (data.py:103-109 via torchvision adjust_hue): at the default jitter
-    strength (sigma 2e-4 of a turn) the two agree to ~1e-3 pixel units,
-    and the YIQ form is one 3x3 matmul instead of two colorspace
-    conversion passes per image.
+    (data.py:103-109 via torchvision adjust_hue): the two differ by
+    ~13.5*f in [0,1] pixel units (measured) — under one uint8
+    quantization step at the default jitter strength (sigma 2e-4 of a
+    turn) — and the YIQ form is one 3x3 matmul instead of two
+    colorspace conversion passes per image.
     """
     th = 2.0 * math.pi * f
     u, w = math.cos(th), math.sin(th)

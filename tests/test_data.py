@@ -248,3 +248,37 @@ def test_eval_native_fast_path_fixed_size(tmp_path):
     too_small = DataIterator(img_dir, fixed_size=(64, 64), **kw)
     with pytest.raises(ValueError):
         next(iter(too_small))
+
+
+def test_yiq_hue_close_to_hsv_at_default_strength():
+    """The YIQ hue rotation replaces the reference's HSV round-trip;
+    they differ by ~13.5*f in [0,1] units — under one uint8
+    quantization step (1/255) at the default strength's 1-sigma draw
+    (documented divergence in _hue_matrix)."""
+    import cv2
+    from odtk_tpu.data.coco import _hue_matrix
+    rng = np.random.RandomState(2)
+    arr01 = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+    f = 2e-4                             # reference default hue sigma
+    hsv = cv2.cvtColor(arr01, cv2.COLOR_RGB2HSV)
+    hsv[..., 0] = (hsv[..., 0] + f * 360.0) % 360.0
+    want = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    got = np.clip(arr01 @ _hue_matrix(f), 0, 1)
+    assert np.abs(got - want).max() < 1.0 / 255.0
+
+
+def test_rotated_eval_fast_path(tmp_path):
+    from odtk_tpu.data import native
+    if not native.available():
+        pytest.skip('native lib unavailable')
+    img_dir, ann = make_dataset(str(tmp_path), n_images=4, size=(160, 200),
+                                fmt='jpg', rotated=True)
+    kw = dict(resize=128, max_size=256, batch_size=2, stride=64, world=1,
+              annotations=ann, training=False, num_threads=1, shuffle=False)
+    fast = list(RotatedDataIterator(img_dir, **kw))
+    slow_it = RotatedDataIterator(img_dir, **kw)
+    slow_it._collate_eval_native = lambda batch_ids: None
+    slow = list(slow_it)
+    for (fd, fi, fr), (sd, si, sr) in zip(fast, slow):
+        np.testing.assert_array_equal(fd, sd)
+        np.testing.assert_array_equal(fi, si)
