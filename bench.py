@@ -95,8 +95,8 @@ def main():
             'error': state.get('err', 'TPU backend init timed out '
                                       '(chip claim unavailable)'),
             **host,
-        }))
-        os._exit(1)
+        }), flush=True)
+        os._exit(1)   # after flush: block-buffered pipes would lose it
 
     model = Model(backbones='ResNet50FPN', classes=80, dtype=jnp.bfloat16)
     model.initialize(rng=0, image_size=(256, 256))

@@ -184,6 +184,26 @@ def round_up(v, m):
     return int(math.ceil(v / m) * m)
 
 
+def resize_dims(w0, h0, resize, max_size):
+    """Aspect-preserving target dims (th, tw, ratio) for a w0 x h0
+    source: shorter side -> ``resize`` capped so the longer side stays
+    <= ``max_size`` (the reference rule, data.py:52-60).
+
+    The arithmetic deliberately runs in float32 to match the native
+    decoder bit-for-bit (host_decode.cpp computes the same ratio in C
+    float): at boundary sizes a float64 version rounds int(r*side) to a
+    different pixel count, and the fast/slow loader paths would resize
+    on different grids. The single source of truth for every caller.
+    """
+    f32 = np.float32
+    r = f32(resize) / f32(min(w0, h0))
+    if float(r * f32(max(w0, h0))) > max_size:
+        r = f32(max_size) / f32(max(w0, h0))
+    th = max(1, int(r * f32(h0)))
+    tw = max(1, int(r * f32(w0)))
+    return th, tw, float(r)
+
+
 class CocoDataset:
     """Axis-aligned detection dataset.
 
@@ -247,10 +267,7 @@ class CocoDataset:
                 data = f.read()
             with Image.open(full) as probe:
                 w0, h0 = probe.size
-            ratio = resize / min(w0, h0)
-            if ratio * max(w0, h0) > self.max_size:
-                ratio = self.max_size / max(w0, h0)
-            th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+            th, tw, _ = resize_dims(w0, h0, resize, self.max_size)
             out = native.decode_jpeg(data, resize, self.max_size,
                                      pad_to=(th, tw), normalize=normalize)
             if out is not None:
@@ -258,10 +275,7 @@ class CocoDataset:
                 return arr, r, normalize
         im = self._load_image(img_id)
         w0, h0 = im.size
-        ratio = resize / min(w0, h0)
-        if ratio * max(w0, h0) > self.max_size:
-            ratio = self.max_size / max(w0, h0)
-        th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+        th, tw, ratio = resize_dims(w0, h0, resize, self.max_size)
         if native.available():
             arr = native.resize_rgb(np.asarray(im, np.uint8), th, tw,
                                     normalize=normalize)
@@ -350,10 +364,7 @@ class CocoDataset:
         boxes, categories = self._get_target(img_id)
         im, boxes, categories = self._random_crop(im, boxes, categories)
         w0, h0 = im.size
-        ratio = resize / min(w0, h0)
-        if ratio * max(w0, h0) > self.max_size:
-            ratio = self.max_size / max(w0, h0)
-        th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
+        th, tw, ratio = resize_dims(w0, h0, resize, self.max_size)
         from . import native
         arr = None
         if native.available():
@@ -426,12 +437,15 @@ class CocoDataset:
         return boxes
 
     @staticmethod
-    def _rot90_same_canvas(arr, k):
+    def _rot90_same_canvas(arr, k, fill=0.0):
         """CCW rotate by k*90deg keeping the original canvas (center
-        crop/pad) — PIL's Image.rotate(angle) without expand."""
+        crop/pad) — PIL's Image.rotate(angle) without expand. ``fill``
+        is the padding value: black in raw pixel space, but when the
+        input is already normalized (color runs before geometric here)
+        the caller passes black's normalized value instead."""
         h, w = arr.shape[:2]
         rot = np.rot90(arr, k)
-        canvas = np.zeros((h, w, arr.shape[2]), arr.dtype)
+        canvas = np.full((h, w, arr.shape[2]), fill, arr.dtype)
         rh, rw = rot.shape[:2]
         # center alignment: source and destination offsets
         dy, dx = (h - rh) // 2, (w - rw) // 2
@@ -447,7 +461,12 @@ class CocoDataset:
         # PIL rotate without expand
         angle = random.randint(0, 3) * 90
         if self.rotate_augment and angle != 0:
-            arr = self._rot90_same_canvas(arr, angle // 90)
+            # the array is normalized by now (color runs first), so pad
+            # with black's normalized value — the reference rotates raw
+            # pixels and the zero fill then flows through its jitter +
+            # normalize chain (exact at zero contrast jitter, within
+            # c/std of it otherwise)
+            arr = self._rot90_same_canvas(arr, angle // 90, fill=_CLIP_LO)
             h, w = arr.shape[:2]
             x, y, bw, bh = (boxes[:, i].copy() for i in range(4))
             if angle == 90:

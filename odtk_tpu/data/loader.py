@@ -20,7 +20,7 @@ import threading
 
 import numpy as np
 
-from .coco import CocoDataset, RotatedCocoDataset, round_up
+from .coco import CocoDataset, RotatedCocoDataset, resize_dims, round_up
 
 
 def _pad_batch(images, stride, fixed_size=None):
@@ -78,9 +78,15 @@ class DataIterator:
         self.max_det = max_det
         self.fixed_size = fixed_size
         self.shuffle = training if shuffle is None else shuffle
-        # more threads than cores only adds GIL/queue contention
-        # (measured ~10% slower at 2 threads on a 1-core host)
-        self.num_threads = max(1, min(num_threads, os.cpu_count() or 1))
+        # cap at 2x the AVAILABLE cores (cgroup/affinity-aware): decode
+        # releases the GIL and file reads block, so modest
+        # oversubscription still overlaps I/O, but far-oversubscribed
+        # threads only add GIL/queue contention
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:      # non-Linux
+            cores = os.cpu_count() or 1
+        self.num_threads = max(1, min(num_threads, 2 * cores))
         self.prefetch = prefetch
         self.epoch = 0
         self.seed = seed
@@ -194,15 +200,12 @@ class DataIterator:
                     w0, h0 = probe.size
             except Exception:  # noqa: BLE001 — unreadable -> slow path
                 return None
-            ratio = ds.resize / min(w0, h0)
-            if ratio * max(w0, h0) > ds.max_size:
-                ratio = ds.max_size / max(w0, h0)
-            th, tw = max(1, int(ratio * h0)), max(1, int(ratio * w0))
-            metas.append((img_id, full, th, tw, ratio))
+            th, tw, _ = resize_dims(w0, h0, ds.resize, ds.max_size)
+            metas.append((img_id, full, th, tw))
 
         if self.fixed_size is not None:
             canvas_h, canvas_w = self.fixed_size
-            if any(th > canvas_h or tw > canvas_w for _, _, th, tw, _
+            if any(th > canvas_h or tw > canvas_w for _, _, th, tw
                    in metas):
                 raise ValueError(
                     f'images resize beyond the fixed engine size '
@@ -211,14 +214,16 @@ class DataIterator:
             canvas_h = round_up(max(m[2] for m in metas), self.stride)
             canvas_w = round_up(max(m[3] for m in metas), self.stride)
         canvas = np.empty((len(metas), canvas_h, canvas_w, 3), np.float32)
-        for row, (_, full, _, _, _) in zip(canvas, metas):
+        ratios = np.empty(len(metas), np.float32)
+        for i, (row, (_, full, _, _)) in enumerate(zip(canvas, metas)):
             with open(full, 'rb') as f:
                 data = f.read()
-            if native.decode_jpeg(data, ds.resize, ds.max_size,
-                                  normalize=True, out=row) is None:
+            dec = native.decode_jpeg(data, ds.resize, ds.max_size,
+                                     normalize=True, out=row)
+            if dec is None:
                 return None
+            ratios[i] = dec[3]   # the decoder's ratio, same as slow path
         ids = np.asarray([m[0] for m in metas], np.int64)
-        ratios = np.asarray([m[4] for m in metas], np.float32)
         return canvas, ids, ratios
 
     def _collate(self, samples):

@@ -282,3 +282,41 @@ def test_rotated_eval_fast_path(tmp_path):
     for (fd, fi, fr), (sd, si, sr) in zip(fast, slow):
         np.testing.assert_array_equal(fd, sd)
         np.testing.assert_array_equal(fi, si)
+
+
+def test_fast_slow_parity_at_float_boundary_sizes(tmp_path):
+    """resize_dims runs in float32 to match the native decoder's C
+    float arithmetic: at boundary aspect ratios (e.g. 752x50 at
+    resize 96 / max 192) a float64 version computes different target
+    dims and the fast/slow batches diverge on the whole resample grid."""
+    from PIL import Image as PILImage
+    from odtk_tpu.data import native
+    from odtk_tpu.data.coco import resize_dims
+    if not native.available():
+        pytest.skip('native lib unavailable')
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / 'images'
+    img_dir.mkdir()
+    import json
+    images = []
+    for i, (w, h) in enumerate([(752, 50), (50, 752), (383, 128)]):
+        arr = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        name = f'b{i}.jpg'
+        PILImage.fromarray(arr).save(img_dir / name, quality=92)
+        images.append({'id': i, 'file_name': name, 'width': w, 'height': h})
+    ann = tmp_path / 'ann.json'
+    ann.write_text(json.dumps({'images': images, 'annotations': [],
+                               'categories': [{'id': 1, 'name': 'x'}]}))
+    # python dims must equal what the C decoder computes internally
+    th, tw, _ = resize_dims(752, 50, 96, 192)
+    assert (th, tw) == (12, 192)
+    kw = dict(resize=96, max_size=192, batch_size=3, stride=32, world=1,
+              annotations=str(ann), training=False, num_threads=1,
+              shuffle=False)
+    fast = list(DataIterator(str(img_dir), **kw))
+    slow_it = DataIterator(str(img_dir), **kw)
+    slow_it._collate_eval_native = lambda batch_ids: None
+    slow = list(slow_it)
+    for (fd, fi, fr), (sd, si, sr) in zip(fast, slow):
+        np.testing.assert_array_equal(fd, sd)
+        np.testing.assert_array_equal(fr, sr)
