@@ -115,6 +115,20 @@ def parse(args):
     parser_train.add_argument('--anchor-ious', metavar='value value', type=float,
                               nargs=2, help='background / foreground IoU cutoffs for anchor assignment',
                               default=[0.4, 0.5])
+    # anchor geometry as flags — the reference requires editing
+    # odtk/model.py for this (TRAINING.md:98-108); persisted in the
+    # checkpoint so infer/export restore them automatically
+    parser_train.add_argument('--anchor-ratios', metavar='value', type=float,
+                              nargs='+', default=[1.0, 2.0, 0.5],
+                              help='anchor aspect ratios per cell')
+    parser_train.add_argument('--anchor-scales', metavar='value', type=float,
+                              nargs='+',
+                              default=[4 * 2 ** (i / 3) for i in range(3)],
+                              help='anchor scales per cell (in strides)')
+    parser_train.add_argument('--anchor-angles', metavar='value', type=float,
+                              nargs='+', default=None,
+                              help='anchor angles in radians '
+                                   '(rotated-bbox models only)')
     parser_train.add_argument('--absolute-angle', action='store_true',
                               help='use the full angle range instead of folding into [-45, 45] degrees')
     parser_train.add_argument('--max-det', metavar='num', type=int, default=128,
@@ -203,7 +217,9 @@ def load_model(args, verbose=False):
             print('Initializing model...')
         model = Model(backbones=args.backbone, classes=args.classes,
                       rotated_bbox=args.rotated_bbox,
-                      anchor_ious=args.anchor_ious)
+                      anchor_ious=args.anchor_ious,
+                      ratios=args.anchor_ratios, scales=args.anchor_scales,
+                      angles=args.anchor_angles)
         model.initialize(rng=random.randint(0, 2 ** 31 - 1),
                          fine_tune=args.fine_tune)
         if args.backbone_weights:

@@ -55,3 +55,33 @@ def test_multibackbone_flag():
     a = parse(['train', 'm.ckpt', '--annotations', 'x',
                '--backbone', 'ResNet18FPN', 'MobileNetV2FPN'])
     assert a.backbone == ['ResNet18FPN', 'MobileNetV2FPN']
+
+
+def test_anchor_geometry_flags():
+    """Anchor geometry is a CLI surface here (the reference requires
+    editing odtk/model.py, TRAINING.md:98-108); a fresh model must pick
+    the flags up and persist them through the checkpoint."""
+    a = parse(['train', 'm.ckpt', '--annotations', 'x',
+               '--anchor-ratios', '0.5', '1.0',
+               '--anchor-scales', '3.0', '5.0',
+               '--anchor-angles', '-0.3', '0.0', '0.3', '--rotated-bbox'])
+    assert a.anchor_ratios == [0.5, 1.0]
+    assert a.anchor_scales == [3.0, 5.0]
+    assert a.anchor_angles == [-0.3, 0.0, 0.3]
+
+    import jax.numpy as jnp
+    from odtk_tpu.model import Model
+    model = Model(backbones='ResNet18FPN', classes=3,
+                  rotated_bbox=True, ratios=a.anchor_ratios,
+                  scales=a.anchor_scales, angles=a.anchor_angles,
+                  dtype=jnp.float32)
+    model.initialize(rng=0, image_size=(64, 64))
+    assert model.num_anchors == 2 * 2 * 3
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'm.ckpt')
+        model.save({'path': path})
+        loaded, _ = Model.load(path)
+        assert loaded.ratios == [0.5, 1.0]
+        assert loaded.scales == [3.0, 5.0]
+        assert loaded.angles == [-0.3, 0.0, 0.3]
