@@ -189,6 +189,20 @@ def parse(args):
     parser_export.add_argument('--dynamic-batch-opts', metavar='value value value',
                                type=int, nargs=3, default=[1, 8, 16],
                                help='compile these batch-size profiles (min, opt, max)')
+    # post-processing knobs baked into the engine — the reference's TRT
+    # plugins carry these as serialized params but only source edits
+    # change them (odtk/model.py:49-52)
+    parser_export.add_argument('--threshold', metavar='value', type=float,
+                               default=None,
+                               help='score threshold baked into decode')
+    parser_export.add_argument('--top-n', metavar='num', type=int,
+                               default=None,
+                               help='per-image candidate budget before NMS')
+    parser_export.add_argument('--nms', metavar='value', type=float,
+                               default=None, help='NMS IoU threshold')
+    parser_export.add_argument('--detections', metavar='num', type=int,
+                               default=None,
+                               help='max detections emitted per image')
 
     return parser.parse_args(args)
 
@@ -306,6 +320,15 @@ def run(args, model, state):
 
     elif args.command == 'export':
         input_size = args.size * 2 if len(args.size) == 1 else args.size
+
+        # bake post-processing overrides into the exported graph
+        for flag, attr in (('threshold', 'threshold'), ('top_n', 'top_n'),
+                           ('nms', 'nms'), ('detections', 'detections')):
+            value = getattr(args, flag)
+            if value is not None:
+                setattr(model, attr, value)
+        if args.top_n is not None:
+            model.fused_top_n = 2 * model.top_n  # keeps the derived default
 
         calibration_files = []
         if args.int8 and os.path.isdir(args.calibration_images):

@@ -132,3 +132,25 @@ def test_engine_chunks_oversized_batch(engine):
     s1, b1, c1 = eng(imgs[3:4])
     np.testing.assert_allclose(s[3], s1[0], atol=1e-5)
     np.testing.assert_allclose(b[3], b1[0], atol=1e-4)
+
+
+def test_export_postprocessing_overrides(tmp_path):
+    """CLI export can bake threshold/top-n/nms/detections into the
+    engine (the reference's TRT plugins carry these as serialized
+    params, configurable only by source edits)."""
+    from odtk_tpu.main import main as cli_main
+
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    ckpt = str(tmp_path / 'm.ckpt')
+    m.save({'path': ckpt})
+    path = str(tmp_path / 'm.engine')
+    cli_main(['export', ckpt, path, '--size', '128', '--full-precision',
+              '--dynamic-batch-opts', '1', '1', '1',
+              '--detections', '25', '--top-n', '200',
+              '--threshold', '0.1', '--nms', '0.4'])
+    eng = Engine.load(path)
+    assert eng.max_detections == 25
+    out = eng(np.random.RandomState(0).randn(1, 128, 128, 3)
+              .astype(np.float32))
+    assert out[0].shape == (1, 25)
