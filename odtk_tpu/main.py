@@ -159,6 +159,14 @@ def parse(args):
                               action='store_true')
     parser_infer.add_argument('--rotated-bbox', action='store_true',
                               help='model predicts rotated boxes')
+    parser_infer.add_argument('--threshold', metavar='value', type=float,
+                              default=None,
+                              help='score threshold (checkpoint inference '
+                                   'only; engines bake theirs at export)')
+    parser_infer.add_argument('--detections', metavar='num', type=int,
+                              default=None,
+                              help='max detections per image (checkpoint '
+                                   'inference only)')
 
     parser_export = subparsers.add_parser(
         'export', help='export a model into an AOT TPU engine')
@@ -312,6 +320,11 @@ def run(args, model, state):
             print('Loading engine from {}...'.format(
                 os.path.basename(args.model)))
             model = Engine.load(args.model)
+        elif args.threshold is not None or args.detections is not None:
+            if args.threshold is not None:
+                model.threshold = args.threshold
+            if args.detections is not None:
+                model.detections = args.detections
         infer_mod.infer(
             model, args.images, args.output, args.resize, args.max_size,
             args.batch, annotations=args.annotations,

@@ -85,3 +85,11 @@ def test_anchor_geometry_flags():
         assert loaded.ratios == [0.5, 1.0]
         assert loaded.scales == [3.0, 5.0]
         assert loaded.angles == [-0.3, 0.0, 0.3]
+
+
+def test_infer_postprocessing_flags():
+    a = parse(['infer', 'm.ckpt', '--threshold', '0.2',
+               '--detections', '50'])
+    assert a.threshold == 0.2 and a.detections == 50
+    a = parse(['infer', 'm.ckpt'])
+    assert a.threshold is None and a.detections is None
