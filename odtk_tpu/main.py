@@ -90,9 +90,16 @@ def parse(args):
                               default=8000)
     parser_train.add_argument('--with-dali', help='(compat no-op: the fused '
                               'host loader is always on)', action='store_true')
+    parser_train.add_argument('--with-apex', help='(compat no-op: bf16 mixed '
+                              'precision is the default; there is no AMP '
+                              'scaler to enable)', action='store_true')
     parser_train.add_argument('--augment-rotate',
                               help='randomly rotate images by multiples of 90 degrees',
                               action='store_true')
+    parser_train.add_argument('--augment-free-rotate', metavar='value value',
+                              type=float, nargs=2, default=[0, 0],
+                              help='(compat no-op: the reference defines this '
+                                   'flag but never feeds it to training)')
     parser_train.add_argument('--augment-crop',
                               help='random IoU-constrained crops before '
                                    'resizing (axis-aligned boxes only)',
@@ -153,6 +160,8 @@ def parse(args):
     parser_infer.add_argument('--max-size', metavar='max', type=int,
                               help='cap on the longer side after resizing', default=1333)
     parser_infer.add_argument('--with-dali', help='(compat no-op)',
+                              action='store_true')
+    parser_infer.add_argument('--with-apex', help='(compat no-op)',
                               action='store_true')
     parser_infer.add_argument('--full-precision',
                               help='disable bf16 mixed precision',

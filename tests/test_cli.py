@@ -51,6 +51,19 @@ def test_export_flags():
     assert a.dynamic_batch_opts == [1, 4, 8]
 
 
+def test_compat_noop_flags_accepted():
+    # Reference command lines carry --with-dali/--with-apex (odtk
+    # main.py:59-60,91-92); both must parse as no-ops here so existing
+    # scripts keep working.
+    a = parse(['train', 'm.ckpt', '--annotations', 'x',
+               '--with-dali', '--with-apex',
+               '--augment-free-rotate', '0', '90'])
+    assert a.with_dali and a.with_apex
+    assert a.augment_free_rotate == [0, 90]
+    a = parse(['infer', 'm.ckpt', '--with-dali', '--with-apex'])
+    assert a.with_dali and a.with_apex
+
+
 def test_multibackbone_flag():
     a = parse(['train', 'm.ckpt', '--annotations', 'x',
                '--backbone', 'ResNet18FPN', 'MobileNetV2FPN'])
