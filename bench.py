@@ -166,6 +166,15 @@ def main():
     except Exception as e:  # noqa: BLE001
         result['train_error'] = str(e)[:200]
 
+    # End-to-end training: host loader FEEDING the chip (decode ->
+    # augment -> canvas -> transfer -> step, prefetch overlapped) — the
+    # number real training sees. On a 1-core host this is loader-bound;
+    # the host_wait diagnostic attributes it.
+    try:
+        result.update(bench_e2e_train(model_cls=Model))
+    except Exception as e:  # noqa: BLE001
+        result['e2e_train_error'] = str(e)[:200]
+
     # Rotated-box training throughput (3-angle anchors triple the head
     # channels, so the premium over axis is mostly inherent compute).
     # Skippable via ODTK_BENCH_ROTATED=0 if the compile cache is cold.
@@ -188,7 +197,14 @@ def main():
 def bench_host_loader():
     """CPU-only host data-pipeline throughput (the DALI-equivalent
     path: native JPEG decode -> augment -> batch canvas), reported
-    whether or not the TPU is reachable."""
+    whether or not the TPU is reachable.
+
+    Emits attribution diagnostics alongside the rates (BENCH_r02
+    recorded an unexplained 8x eval-rate swing vs the repo-local run):
+    whether the native decoder loaded, the thread count actually used,
+    the cores visible to this process, system load at start, and a
+    decode-only rate that isolates the JPEG stage from
+    threading/augment/canvas overheads."""
     try:
         import os
         import sys
@@ -197,13 +213,32 @@ def bench_host_loader():
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), 'tests'))
         from synth import make_dataset
+        from odtk_tpu.data import native
         from odtk_tpu.data.loader import DataIterator
 
-        out = {}
+        out = {'host_native': bool(native.available())}
+        try:
+            out['host_cores'] = len(os.sched_getaffinity(0))
+            out['host_loadavg'] = round(os.getloadavg()[0], 2)
+        except (AttributeError, OSError):
+            pass
         with tempfile.TemporaryDirectory() as root:
             img_dir, anns = make_dataset(root, n_images=64,
                                          size=(640, 640), max_boxes=4,
                                          fmt='jpg')
+            if out['host_native']:
+                # decode-only rate: native JPEG decode+resize+normalize,
+                # no threads, no canvas assembly
+                blobs = [open(os.path.join(img_dir, f), 'rb').read()
+                         for f in sorted(os.listdir(img_dir))
+                         if f.endswith('.jpg')]
+                for blob in blobs[:4]:                       # warm
+                    native.decode_jpeg(blob, 832, 1024, normalize=True)
+                t0 = _time.perf_counter()
+                for blob in blobs:
+                    native.decode_jpeg(blob, 832, 1024, normalize=True)
+                out['host_decode_im_s'] = round(
+                    len(blobs) / (_time.perf_counter() - t0), 1)
             for training, key in ((False, 'host_loader_eval_im_s'),
                                   (True, 'host_loader_train_im_s')):
                 augs = dict(augment_brightness=0.002,
@@ -213,6 +248,7 @@ def bench_host_loader():
                                   batch_size=8, stride=128, world=1,
                                   annotations=anns, training=training,
                                   **augs)
+                out['host_threads'] = it.num_threads
                 for b in it:            # warm epoch
                     pass
                 n, t0 = 0, _time.perf_counter()
@@ -274,9 +310,95 @@ def bench_train(model_cls, batch=8, size=832, steps=24, rotated=False,
     t1, params, opt_state = run(k1, params, opt_state)
     t2, params, opt_state = run(k2, params, opt_state)
     sec = (t2 - t1) / (k2 - k1)
-    return {'train_im_s_per_chip': round(batch / sec, 2),
-            'train_step_ms': round(sec * 1e3, 2),
-            'train_batch': batch, 'train_size': size}
+    out = {'train_im_s_per_chip': round(batch / sec, 2),
+           'train_step_ms': round(sec * 1e3, 2),
+           'train_batch': batch, 'train_size': size}
+    if not rotated and not small_targets:
+        # MFU: XLA-counted step flops / wall time vs chip peak (v5e
+        # bf16 = 197 TFLOP/s; override via ODTK_PEAK_TFLOPS) — tracks
+        # efficiency across rounds, not just im/s
+        try:
+            import os
+            ca = step.lower(params, opt_state, frozen, images,
+                            tgts).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get('flops', 0.0))
+            if flops > 0:
+                peak = float(os.environ.get('ODTK_PEAK_TFLOPS',
+                                            '197')) * 1e12
+                out['train_flops_per_step_g'] = round(flops / 1e9, 1)
+                out['train_mfu'] = round(flops / sec / peak, 4)
+        except Exception:  # noqa: BLE001 — diagnostics only
+            pass
+    return out
+
+
+def bench_e2e_train(model_cls, batch=8, size=832, epochs=3):
+    """Loader-fed training throughput: synthetic JPEGs stream through
+    the threaded host pipeline into the jitted train step (the
+    overlapped whole that DALI's copy_to_external keeps fed on GPU,
+    dali.py:151-157). Reports e2e_train_im_s plus per-step host-wait
+    and transfer attribution. Uses the same step/batch/canvas shapes as
+    bench_train (max_det=32, fixed resize) so the compiled executable
+    is shared via the persistent cache."""
+    import os
+    import sys
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    from odtk_tpu.train import make_optimizer, make_train_step
+    from odtk_tpu.parallel import make_mesh, shard_batch
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests'))
+    from synth import make_dataset
+    from odtk_tpu.data.loader import DataIterator
+
+    model = model_cls(backbones='ResNet50FPN', classes=80,
+                      dtype=jnp.bfloat16)
+    model.initialize(rng=0, image_size=(256, 256))
+    mesh = make_mesh(jax.devices()[:1])
+    tx = make_optimizer(lr=0.01, warmup=100, milestones=[1000], gamma=0.1)
+    params = model.variables['params']
+    frozen = model.variables['frozen']
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, mesh)
+
+    with tempfile.TemporaryDirectory() as root:
+        img_dir, anns = make_dataset(root, n_images=64, size=(640, 640),
+                                     max_boxes=4, fmt='jpg')
+        it = DataIterator(img_dir, resize=size, max_size=1024,
+                          batch_size=batch, stride=128, world=1,
+                          annotations=anns, training=True, max_det=32,
+                          augment_brightness=0.002, augment_contrast=0.002,
+                          augment_hue=0.0002, augment_saturation=0.002)
+        for data, target in it:                      # warm: compile + cache
+            images, tgts = shard_batch(mesh, data, target)
+            params, opt_state, cl, bl = step(params, opt_state, frozen,
+                                             images, tgts)
+        float(cl)
+
+        n_steps, n_im = 0, 0
+        host_wait = transfer = 0.0
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            tw = time.perf_counter()
+            for data, target in it:
+                host_wait += time.perf_counter() - tw
+                tt = time.perf_counter()
+                images, tgts = shard_batch(mesh, data, target)
+                transfer += time.perf_counter() - tt
+                params, opt_state, cl, bl = step(params, opt_state,
+                                                 frozen, images, tgts)
+                n_steps += 1
+                n_im += data.shape[0]
+                tw = time.perf_counter()
+        float(cl)                                    # drain the device
+        sec = time.perf_counter() - t0
+    return {'e2e_train_im_s': round(n_im / sec, 2),
+            'e2e_train_step_ms': round(sec / n_steps * 1e3, 2),
+            'e2e_host_wait_ms': round(host_wait / n_steps * 1e3, 2),
+            'e2e_transfer_ms': round(transfer / n_steps * 1e3, 2)}
 
 
 if __name__ == '__main__':

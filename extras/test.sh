@@ -21,9 +21,14 @@ sys.path.insert(0, '$ROOT/tests')
 from synth import make_dataset
 img, ann = make_dataset(sys.argv[1], n_images=8, size=(120, 160))
 print(img); print(ann)
+rimg, rann = make_dataset(sys.argv[1] + '/rot', n_images=6,
+                          size=(120, 160), rotated=True)
+print(rimg); print(rann)
 EOF
     IMAGES="$WORK/images"
     ANNOTATIONS="$WORK/annotations.json"
+    ROT_IMAGES="$WORK/rot/images"
+    ROT_ANNOTATIONS="$WORK/rot/annotations.json"
     CLASSES=3
     EXTRA="--resize 64 --max-size 128 --jitter 64 64 --warmup 0 --lr 0.001"
     SIZE=128
@@ -75,5 +80,24 @@ run export "$WORK/model.ckpt" "$WORK/model_int8.engine" --size $SIZE \
 run infer "$WORK/model_int8.engine" --images "$IMAGES" \
     --annotations "$ANNOTATIONS" --batch 2 \
     --output "$WORK/detections_int8.json" --full-precision
+
+# 9-12. rotated-bbox leg (synthetic set only: rotated annotations are
+# self-generated; with a user dataset the axis legs above apply)
+if [ -n "$ROT_IMAGES" ]; then
+    run train "$WORK/rotated.ckpt" --backbone ResNet18FPN \
+        --classes $CLASSES --images "$ROT_IMAGES" \
+        --annotations "$ROT_ANNOTATIONS" --rotated-bbox \
+        --batch 2 --iters 2 --milestones $EXTRA --full-precision --override
+    run infer "$WORK/rotated.ckpt" --images "$ROT_IMAGES" \
+        --annotations "$ROT_ANNOTATIONS" --batch 2 --rotated-bbox \
+        --output "$WORK/detections_rotated.json" --full-precision \
+        $(echo "$EXTRA" | grep -o -- '--resize [0-9]*') \
+        $(echo "$EXTRA" | grep -o -- '--max-size [0-9]*')
+    run export "$WORK/rotated.ckpt" "$WORK/rotated.engine" --size $SIZE \
+        --full-precision --dynamic-batch-opts 1 2 2
+    run infer "$WORK/rotated.engine" --images "$ROT_IMAGES" \
+        --annotations "$ROT_ANNOTATIONS" --batch 2 --rotated-bbox \
+        --output "$WORK/detections_rotated_engine.json" --full-precision
+fi
 
 echo "ALL SMOKE TESTS PASSED in $(( $(date +%s) - start ))s (workdir $WORK)"

@@ -184,6 +184,24 @@ def round_up(v, m):
     return int(math.ceil(v / m) * m)
 
 
+def fit_resize_caps(w0, h0, resize, max_size, fit_hw):
+    """Cap (resize, max_size) so a w0 x h0 source fits a fixed (H, W)
+    canvas (letterbox clamp for non-square engines; the reference avoids
+    this case by forcing resize to the engine size, odtk/infer.py:34).
+
+    resize_dims computes r = min(resize/min_side, max_size/max_side),
+    so fitting within the canvas is exactly two extra caps: the fit dim
+    along the image's shorter side bounds ``resize``, the one along its
+    longer side bounds ``max_size``. Works identically through the
+    native decoder (which recomputes r from the same two ints).
+    """
+    if fit_hw is None:
+        return resize, max_size
+    fh, fw = fit_hw
+    short_fit, long_fit = (fw, fh) if w0 <= h0 else (fh, fw)
+    return min(resize, short_fit), min(max_size, long_fit)
+
+
 def resize_dims(w0, h0, resize, max_size):
     """Aspect-preserving target dims (th, tw, ratio) for a w0 x h0
     source: shorter side -> ``resize`` capped so the longer side stays
@@ -218,10 +236,13 @@ class CocoDataset:
                  training=False, rotate_augment=False, crop_augment=False,
                  augment_brightness=0.0,
                  augment_contrast=0.0, augment_hue=0.0, augment_saturation=0.0,
-                 absolute_angle=False):
+                 absolute_angle=False, fixed_size=None):
         self.path = os.path.expanduser(path)
         self.resize = resize
         self.max_size = max_size
+        # fixed engine canvas (H, W): resize is letterbox-clamped so
+        # every image fits it (fit_resize_caps)
+        self.fixed_size = fixed_size
         self.stride = stride
         self.training = training
         self.rotate_augment = rotate_augment
@@ -267,15 +288,19 @@ class CocoDataset:
                 data = f.read()
             with Image.open(full) as probe:
                 w0, h0 = probe.size
-            th, tw, _ = resize_dims(w0, h0, resize, self.max_size)
-            out = native.decode_jpeg(data, resize, self.max_size,
+            rsz, msz = fit_resize_caps(w0, h0, resize, self.max_size,
+                                       self.fixed_size)
+            th, tw, _ = resize_dims(w0, h0, rsz, msz)
+            out = native.decode_jpeg(data, rsz, msz,
                                      pad_to=(th, tw), normalize=normalize)
             if out is not None:
                 arr, oh, ow, r = out
                 return arr, r, normalize
         im = self._load_image(img_id)
         w0, h0 = im.size
-        th, tw, ratio = resize_dims(w0, h0, resize, self.max_size)
+        rsz, msz = fit_resize_caps(w0, h0, resize, self.max_size,
+                                   self.fixed_size)
+        th, tw, ratio = resize_dims(w0, h0, rsz, msz)
         if native.available():
             arr = native.resize_rgb(np.asarray(im, np.uint8), th, tw,
                                     normalize=normalize)

@@ -20,7 +20,8 @@ import threading
 
 import numpy as np
 
-from .coco import CocoDataset, RotatedCocoDataset, resize_dims, round_up
+from .coco import (CocoDataset, RotatedCocoDataset, fit_resize_caps,
+                   resize_dims, round_up)
 
 
 def _pad_batch(images, stride, fixed_size=None):
@@ -65,7 +66,7 @@ class DataIterator:
             augment_brightness=augment_brightness,
             augment_contrast=augment_contrast, augment_hue=augment_hue,
             augment_saturation=augment_saturation,
-            absolute_angle=absolute_angle)
+            absolute_angle=absolute_angle, fixed_size=fixed_size)
         self.resize = resize
         self.max_size = max_size
         self.stride = stride
@@ -200,25 +201,26 @@ class DataIterator:
                     w0, h0 = probe.size
             except Exception:  # noqa: BLE001 — unreadable -> slow path
                 return None
-            th, tw, _ = resize_dims(w0, h0, ds.resize, ds.max_size)
-            metas.append((img_id, full, th, tw))
+            # letterbox clamp: on a fixed (non-square) engine canvas the
+            # resize is capped per image so it always fits (the slow
+            # path applies the same caps in _load_resized)
+            rsz, msz = fit_resize_caps(w0, h0, ds.resize, ds.max_size,
+                                       self.fixed_size)
+            th, tw, _ = resize_dims(w0, h0, rsz, msz)
+            metas.append((img_id, full, th, tw, rsz, msz))
 
         if self.fixed_size is not None:
             canvas_h, canvas_w = self.fixed_size
-            if any(th > canvas_h or tw > canvas_w for _, _, th, tw
-                   in metas):
-                raise ValueError(
-                    f'images resize beyond the fixed engine size '
-                    f'{self.fixed_size}')
         else:
             canvas_h = round_up(max(m[2] for m in metas), self.stride)
             canvas_w = round_up(max(m[3] for m in metas), self.stride)
         canvas = np.empty((len(metas), canvas_h, canvas_w, 3), np.float32)
         ratios = np.empty(len(metas), np.float32)
-        for i, (row, (_, full, _, _)) in enumerate(zip(canvas, metas)):
+        for i, (row, (_, full, _, _, rsz, msz)) in enumerate(
+                zip(canvas, metas)):
             with open(full, 'rb') as f:
                 data = f.read()
-            dec = native.decode_jpeg(data, ds.resize, ds.max_size,
+            dec = native.decode_jpeg(data, rsz, msz,
                                      normalize=True, out=row)
             if dec is None:
                 return None

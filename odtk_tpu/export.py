@@ -51,7 +51,8 @@ def _aot_export(model, size, batch, platforms=None):
 
 def export_model(model, size, batch=1, precision='bf16', path=None,
                  dynamic_batch_opts=None, calibration_files=None,
-                 calibration_table=None, platforms=None, verbose=False):
+                 calibration_table=None, calibration_percentile=None,
+                 platforms=None, verbose=False):
     """Export a Model to an Engine package (or StableHLO).
 
     size: (H, W) fixed input size. dynamic_batch_opts: (min, opt, max)
@@ -80,7 +81,9 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
     if precision in ('int8', 'INT8'):
         model.set_dtype(jnp.bfloat16)
         scale_table = calibrate(model, size, calibration_files,
-                                calibration_table, verbose=verbose)
+                                calibration_table,
+                                percentile=calibration_percentile,
+                                verbose=verbose)
         from .quantize import build_quant_variables
         model.variables, qstats = build_quant_variables(
             model.variables, scale_table['act_absmax'])
@@ -129,20 +132,22 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
 
 
 def calibrate(model, size, calibration_files, calibration_table=None,
-              batches=2, verbose=False):
-    """INT8 PTQ calibration: per-conv-layer input absmax over
+              batches=2, percentile=None, verbose=False):
+    """INT8 PTQ calibration: per-conv-layer input ranges over
     calibration images, persisted as a reusable named table
-    (the Int8EntropyCalibrator cache behavior, calibrator.h:130-156 —
-    absmax in place of entropy-optimal thresholds; conservative but
-    clip-free).
+    (the Int8EntropyCalibrator cache behavior, calibrator.h:130-156).
 
-    The table body maps each conv layer's module path to the maximum
-    absolute input value observed across the calibration set; engine
-    build turns these into int8 activation scales
-    (quantize.build_quant_variables)."""
+    percentile=None records absmax (conservative, clip-free);
+    percentile=99.9 records the 99.9th percentile of |input| per layer
+    — the outlier-robust option toward TRT's entropy thresholds
+    (calibrator.h:107-168). The table body maps each conv layer's
+    module path to its clipping threshold; engine build turns these
+    into int8 activation scales (quantize.build_quant_variables)."""
     name = '_'.join(model.backbones)
+    suffix = f'_p{percentile:g}' if percentile is not None else ''
     table_name = (calibration_table or
-                  f'Int8CalibrationTable_{name}{size[0]}x{size[1]}_{batches}')
+                  f'Int8CalibrationTable_{name}{size[0]}x{size[1]}'
+                  f'_{batches}{suffix}')
     if os.path.isfile(table_name):
         if verbose:
             print(f'Reading calibration table {table_name}')
@@ -162,9 +167,12 @@ def calibrate(model, size, calibration_files, calibration_table=None,
                                                   Image.BILINEAR)
         arr = (np.asarray(im, np.float32) / 255.0 - IMAGENET_MEAN) \
             / IMAGENET_STD
-        tree = capture_activation_absmax(model, jnp.asarray(arr[None]))
+        tree = capture_activation_absmax(model, jnp.asarray(arr[None]),
+                                         percentile=percentile)
         absmax = merge_absmax(absmax, flatten_absmax(tree))
     table = {'version': 2, 'net': name, 'size': list(size),
+             'method': ('absmax' if percentile is None
+                        else f'percentile{percentile:g}'),
              'act_absmax': absmax}
     with open(table_name, 'w') as f:
         json.dump(table, f)

@@ -15,7 +15,8 @@ import numpy as np
 
 from .data import DataIterator, RotatedDataIterator, CocoEvaluator
 from .parallel import make_mesh_for_batch, batch_sharding, \
-    replicated_sharding, shard_batch, world_info, all_gather_host
+    replicated_sharding, shard_batch, world_info, all_gather_host, \
+    host_local_batch_size
 from .utils import Profiler, rotate_box
 
 
@@ -52,7 +53,9 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
     if backend == 'jax':
         if mixed_precision:
             model.set_dtype(jnp.bfloat16)
-        mesh = make_mesh_for_batch(batch_size // max(1, world))
+        # clean startup error on multi-host misconfiguration
+        # (main.py:170-171)
+        mesh = make_mesh_for_batch(host_local_batch_size(batch_size))
         # cached per (dtype, mesh): periodic validation reuses the
         # compiled pipeline instead of re-tracing every val_iters
         infer_fn = model.jitted_inference_fn(mesh)

@@ -199,6 +199,12 @@ def parse(args):
     parser_export.add_argument('--calibration-table', metavar='path', type=str,
                                help='calibration table to reuse (or filename to create)',
                                default='')
+    parser_export.add_argument('--calibration-percentile', metavar='value',
+                               type=float, default=None,
+                               help='clip activation ranges at this '
+                                    'percentile of |input| (e.g. 99.9) '
+                                    'instead of absmax — outlier-robust '
+                                    'INT8 scales')
     parser_export.add_argument('--verbose', help='print export progress',
                                action='store_true')
     parser_export.add_argument('--rotated-bbox', action='store_true',
@@ -303,6 +309,15 @@ def run(args, model, state):
     if model and getattr(model, 'angles', None) is not None:
         args.rotated_bbox = True
 
+    # compat no-op flags: accepted for reference command-line parity but
+    # semantically inert here — say so once instead of silently eating them
+    if getattr(args, 'with_apex', False):
+        print('--with-apex ignored: bf16 mixed precision is the default '
+              '(use --full-precision for fp32); there is no AMP scaler')
+    if any(getattr(args, 'augment_free_rotate', [0, 0])):
+        print('--augment-free-rotate ignored: the reference defines this '
+              'flag but never feeds it to training')
+
     if args.command == 'train':
         train_mod.train(
             model, state, args.images, args.annotations,
@@ -373,7 +388,8 @@ def run(args, model, state):
         else:
             model.export(input_size, args.dynamic_batch_opts, precision,
                          calibration_files, args.calibration_table,
-                         args.verbose, path=args.export)
+                         args.verbose, path=args.export,
+                         calibration_percentile=args.calibration_percentile)
 
 
 def main(args=None):

@@ -359,11 +359,13 @@ class Model:
     # ------------------------------------------------------------ export
     def export(self, size, dynamic_batch_opts=None, precision='bf16',
                calibration_files=None, calibration_table=None,
-               verbose=False, path=None):
+               verbose=False, path=None, calibration_percentile=None):
         """AOT-export (reference surface: model.py:260-305)."""
         from . import export as export_mod
         return export_mod.export_model(
             self, size, precision=precision, path=path,
             dynamic_batch_opts=dynamic_batch_opts,
             calibration_files=calibration_files,
-            calibration_table=calibration_table, verbose=verbose)
+            calibration_table=calibration_table,
+            calibration_percentile=calibration_percentile,
+            verbose=verbose)

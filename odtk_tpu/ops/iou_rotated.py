@@ -276,8 +276,16 @@ def quad_areas(quads):
                     - q[..., 1] * nxt[..., 0]).sum(-1)) / 2.0
 
 
+def _tpu_backend():
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except RuntimeError:
+        return False
+
+
 def rotated_best_match_batched(subject_quads, clip_quads, valid,
-                               skip_ratio=None, payload=None, chunk=8):
+                               skip_ratio=None, payload=None, chunk=8,
+                               use_pallas=None):
     """Batched chunk-streaming best-match with real per-target skipping.
 
     subject_quads [N, 8] (shared across the batch — translated anchor
@@ -332,6 +340,23 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
         active = valid & band
     else:
         active = valid
+
+    if use_pallas is None:
+        use_pallas = _tpu_backend()
+    if use_pallas:
+        # one-launch Pallas matcher: VMEM-resident anchor planes, a
+        # dynamic loop over per-image packed actives, tile-AABB skip
+        # (ops/pallas/match_rotated_kernel.py) — replaces the whole
+        # while_loop below on TPU; the stream below stays the portable
+        # reference twin
+        from .pallas.match_rotated_kernel import rotated_match_pallas
+        order_b = jnp.argsort(~active, axis=1, stable=True)   # [B, M]
+        packed_b = jnp.take_along_axis(clips, order_b[..., None], axis=1)
+        rows_b = jnp.concatenate(
+            [packed_b, order_b[..., None].astype(jnp.float32)], axis=-1)
+        n_act_b = active.sum(axis=1).astype(jnp.int32)
+        best_iou, best_slot = rotated_match_pallas(subj, rows_b, n_act_b)
+        return _with_payload(best_iou, best_slot, payload, m)
 
     # Pack the active (b, m) slots into a dense prefix so the loop runs
     # ceil(n_act / chunk) times instead of dispatching B*M lax.cond
@@ -389,7 +414,10 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
             jnp.zeros((bsz, n), jnp.int32))
     _, best_iou, best_slot = jax.lax.while_loop(
         lambda c: c[0] * chunk < n_act, body, init)
+    return _with_payload(best_iou, best_slot, payload, m)
 
+
+def _with_payload(best_iou, best_slot, payload, m):
     if payload is None:
         return best_iou, best_slot
     onehot = (best_slot[..., None]

@@ -11,7 +11,9 @@ is used automatically.
 from .nms_kernel import nms_pallas
 from .nms_rotated_kernel import nms_rotated_pallas
 from .iou_kernel import rotated_best_match_pallas
+from .match_rotated_kernel import rotated_match_pallas
 from .focal_kernel import detection_loss_sums_fused, focal_sum_fused
 
 __all__ = ['nms_pallas', 'nms_rotated_pallas', 'rotated_best_match_pallas',
-           'focal_sum_fused', 'detection_loss_sums_fused']
+           'rotated_match_pallas', 'focal_sum_fused',
+           'detection_loss_sums_fused']

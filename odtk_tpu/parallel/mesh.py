@@ -27,7 +27,11 @@ def make_mesh_for_batch(local_batch, axis_name='data'):
     """
     devices = jax.devices()
     if jax.process_count() > 1:
-        return make_mesh(devices, axis_name)   # divisibility enforced upstream
+        # divisibility enforced upstream: train()/infer() call
+        # host_local_batch_size(batch) before building the mesh, which
+        # raises the reference's clean startup error (main.py:170-171)
+        # instead of letting shard_batch fail mid-iteration
+        return make_mesh(devices, axis_name)
     n = len(jax.local_devices())
     while n > 1 and local_batch % n != 0:
         n -= 1
@@ -68,14 +72,22 @@ def shard_batch(mesh, *arrays, axis_name='data'):
 
 
 def host_local_batch_size(global_batch):
-    """Per-host batch; errors unless evenly divisible (main.py:170-171)."""
+    """Per-host batch; errors unless evenly divisible (main.py:170-171).
+
+    Multi-host also requires the per-host batch to divide over the local
+    chips (sharding a global array needs equal per-device rows on every
+    host); single-host keeps make_mesh_for_batch's softer
+    fewer-devices-with-a-warning fallback for debug batches.
+    """
     world = jax.process_count()
     if global_batch % world != 0:
         raise RuntimeError(
             'Batch size should be a multiple of the number of hosts')
     local = global_batch // world
-    n_local_dev = max(1, len(jax.local_devices()))
-    if local % n_local_dev != 0:
-        raise RuntimeError(
-            'Per-host batch size should be a multiple of local device count')
+    if world > 1:
+        n_local_dev = max(1, len(jax.local_devices()))
+        if local % n_local_dev != 0:
+            raise RuntimeError(
+                'Per-host batch size should be a multiple of the local '
+                'device count')
     return local

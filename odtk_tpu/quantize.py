@@ -40,22 +40,37 @@ def _quantize_kernel(arr):
 
 # ------------------------------------------------------------- calibration
 
-def capture_activation_absmax(model, images):
-    """Per-conv-layer input absmax for one batch: nested dict mirroring
-    the module tree with ``in_absmax`` leaves (fp32 scalars).
+def capture_activation_absmax(model, images, percentile=None):
+    """Per-conv-layer input clipping range for one batch: nested dict
+    mirroring the module tree with ``in_absmax`` leaves (fp32 scalars).
 
     Uses flax method interception to sow each QuantConv's INPUT range —
     the quantity the int8 path needs (TRT calibrates the same tensor
     set: every layer input, calibrator.h:120-128).
+
+    percentile=None records the exact absmax (clip-free, conservative —
+    one outlier element stretches the whole int8 grid). A percentile
+    (e.g. 99.9) records that percentile of |input| instead: the
+    outlier-robust middle ground toward TRT's entropy calibration
+    (IInt8EntropyCalibrator2, calibrator.h:107-168) — values above the
+    threshold saturate, everything else gets a finer grid. Across
+    calibration images both variants merge by running max
+    (merge_absmax), so a percentile clips within-image outliers while
+    still covering the whole calibration set.
     """
     from .backbones.layers import QuantConv
+
+    def stat(x):
+        a = jnp.abs(x.astype(jnp.float32))
+        if percentile is None:
+            return jnp.max(a)
+        return jnp.percentile(a.ravel(), percentile)
 
     def interceptor(next_fun, args, kwargs, context):
         if (context.method_name == '__call__'
                 and isinstance(context.module, QuantConv)):
             context.module.sow(
-                'calib', 'in_absmax',
-                jnp.max(jnp.abs(args[0].astype(jnp.float32))),
+                'calib', 'in_absmax', stat(args[0]),
                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
         return next_fun(*args, **kwargs)
 

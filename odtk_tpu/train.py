@@ -28,7 +28,7 @@ from .data import DataIterator, RotatedDataIterator
 from .infer import infer
 from .io import checkpoint as ckpt_io
 from .parallel import make_mesh_for_batch, batch_sharding, \
-    replicated_sharding, shard_batch, world_info
+    replicated_sharding, shard_batch, world_info, host_local_batch_size
 from .utils import ignore_sigint, post_metrics, Profiler
 
 
@@ -136,7 +136,8 @@ def train(model, state, path, annotations, val_path, val_annotations,
     if mixed_precision:
         model.set_dtype(jnp.bfloat16)
 
-    mesh = make_mesh_for_batch(batch_size // max(1, world))
+    # clean startup error on multi-host misconfiguration (main.py:170-171)
+    mesh = make_mesh_for_batch(host_local_batch_size(batch_size))
     tx = make_optimizer(lr, warmup, milestones, gamma, regularization_l2)
     params = model.variables['params']
     frozen = model.variables['frozen']

@@ -309,3 +309,96 @@ def test_joint_loss_shard_map_matches_dense():
     np.testing.assert_allclose(
         float(bx), float(_smooth_l1_dense_reference(box_head, box_t,
                                                     depth, 4)), rtol=1e-5)
+
+
+def test_pallas_batched_match_matches_stream():
+    """The one-launch batched matcher (packed actives + tile-AABB skip)
+    agrees with the chunk-streaming jnp path on every anchor either one
+    considered; anchors only the kernel rejected (tile AABB miss) keep
+    the -2 sentinel, which is classification-equivalent (IoU would be
+    exactly 0 there: disjoint AABBs => disjoint polygons)."""
+    from odtk_tpu.ops.iou_rotated import rotated_best_match_batched
+
+    rng = np.random.RandomState(5)
+    b, n, m = 3, 700, 12
+
+    def quad(cx, cy, w, h, th):
+        c, s = np.cos(th), np.sin(th)
+        pts = np.array([[-w/2, -h/2], [w/2, -h/2], [w/2, h/2], [-w/2, h/2]])
+        return (pts @ np.array([[c, s], [-s, c]]) + [cx, cy]).reshape(8)
+
+    subs = np.stack([quad(rng.uniform(0, 120), rng.uniform(0, 120),
+                          rng.uniform(4, 25), rng.uniform(4, 25),
+                          rng.uniform(-1.2, 1.2)) for _ in range(n)]
+                    ).astype(np.float32)
+    clips = np.stack([quad(rng.uniform(0, 120), rng.uniform(0, 120),
+                           rng.uniform(4, 40), rng.uniform(4, 40),
+                           rng.uniform(-1.2, 1.2))
+                      for _ in range(b * m)]).reshape(b, m, 8) \
+        .astype(np.float32)
+    valid = rng.rand(b, m) > 0.3
+    payload = rng.randn(b, m, 5).astype(np.float32)
+
+    import jax.experimental.pallas as pl_mod
+    orig = pl_mod.pallas_call
+
+    def interp(*a, **kw):
+        kw['interpret'] = True
+        return orig(*a, **kw)
+
+    ri, rp = jax.tree.map(np.asarray, rotated_best_match_batched(
+        jnp.asarray(subs), jnp.asarray(clips), jnp.asarray(valid),
+        skip_ratio=0.4, payload=jnp.asarray(payload), use_pallas=False))
+    try:
+        pl_mod.pallas_call = interp
+        import odtk_tpu.ops.pallas.match_rotated_kernel as mk
+        mk.pl.pallas_call = interp
+        pi, pp = jax.tree.map(np.asarray, rotated_best_match_batched(
+            jnp.asarray(subs), jnp.asarray(clips), jnp.asarray(valid),
+            skip_ratio=0.4, payload=jnp.asarray(payload), use_pallas=True))
+    finally:
+        pl_mod.pallas_call = orig
+        mk.pl.pallas_call = orig
+
+    considered = pi > -1.5
+    assert considered.any()
+    np.testing.assert_allclose(pi[considered], ri[considered], atol=1e-5)
+    np.testing.assert_allclose(pp[considered], rp[considered], atol=1e-5)
+    # kernel-rejected anchors: the stream saw IoU <= 0 there (background
+    # either way)
+    assert (ri[~considered] <= 1e-6).all()
+
+
+def test_pallas_batched_match_empty_and_full():
+    """Zero active targets leaves every anchor at the sentinel."""
+    from odtk_tpu.ops.iou_rotated import rotated_best_match_batched
+
+    import odtk_tpu.ops.pallas.match_rotated_kernel as mk
+    orig = mk.pl.pallas_call
+
+    def interp(*a, **kw):
+        kw['interpret'] = True
+        return orig(*a, **kw)
+
+    rng = np.random.RandomState(7)
+
+    def quad(cx, cy, w, h, th):
+        c, s = np.cos(th), np.sin(th)
+        pts = np.array([[-w/2, -h/2], [w/2, -h/2], [w/2, h/2], [-w/2, h/2]])
+        return (pts @ np.array([[c, s], [-s, c]]) + [cx, cy]).reshape(8)
+
+    quads = np.stack([quad(rng.uniform(0, 60), rng.uniform(0, 60),
+                           rng.uniform(5, 20), rng.uniform(5, 20),
+                           rng.uniform(-1, 1)) for _ in range(8)]
+                     ).reshape(2, 4, 8).astype(np.float32)
+    subs = quads.reshape(-1, 8)[:6]
+
+    try:
+        mk.pl.pallas_call = interp
+        none_iou, none_slot = jax.tree.map(
+            np.asarray, rotated_best_match_batched(
+                jnp.asarray(subs), jnp.asarray(quads),
+                jnp.zeros((2, 4), bool), use_pallas=True))
+    finally:
+        mk.pl.pallas_call = orig
+    assert (none_iou == -2.0).all() and (none_slot == 0).all()

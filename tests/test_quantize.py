@@ -131,3 +131,41 @@ def test_w8a8_full_int8_path(tmp_path):
     # activation quantization noise is larger than weight-only but the
     # sigmoid head outputs must remain close on prior-scale logits
     assert np.abs(out - ref).mean() < 2e-2
+
+
+def test_percentile_calibration(tmp_path):
+    """Percentile clipping thresholds are <= absmax per layer, the table
+    records the method, and a percentile-calibrated model still infers
+    close to fp32 (VERDICT r2 #8)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import make_dataset
+    from odtk_tpu.export import calibrate
+    from odtk_tpu.quantize import build_quant_variables
+
+    img_dir, _ = make_dataset(str(tmp_path), n_images=2, size=(96, 96))
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(96, 96))
+    t_max = calibrate(m, (96, 96), files,
+                      calibration_table=str(tmp_path / 'absmax.json'))
+    t_pct = calibrate(m, (96, 96), files, percentile=99.5,
+                      calibration_table=str(tmp_path / 'p995.json'))
+    assert t_max.get('method', 'absmax') == 'absmax'
+    assert t_pct['method'] == 'percentile99.5'
+    assert set(t_pct['act_absmax']) == set(t_max['act_absmax'])
+    for k, v in t_pct['act_absmax'].items():
+        assert 0 < v <= t_max['act_absmax'][k] + 1e-6
+    # at least some layers actually clip (percentile < absmax)
+    assert any(t_pct['act_absmax'][k] < t_max['act_absmax'][k] * 0.999
+               for k in t_pct['act_absmax'])
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 96, 96, 3).astype(np.float32))
+    ref = np.asarray(m.heads_fn(m.variables, x)[0][0])
+    qvars, _ = build_quant_variables(m.variables, t_pct['act_absmax'],
+                                     mode='w8a8')
+    out = np.asarray(m.heads_fn(qvars, x)[0][0])
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).mean() < 2e-2
