@@ -270,14 +270,16 @@ class Model:
                 cls_losses.append(c_sum)
                 box_losses.append(b_sum)
             else:
+                # flat form is [B, HW, A*nb]/[B, HW, A]; view as [B, N, ...]
                 cls_p = cls_head.reshape(b, -1, self.classes)
-                cls_mask = (depth >= 0)[..., None]
+                cls_mask = (depth >= 0).reshape(b, -1)[..., None]
                 cls_losses.append(
                     (focal_loss(cls_p, cls_t) * cls_mask).sum())
                 box_p = box_head.reshape(b, -1, self.box_size)
-                box_mask = fg[..., None]
+                box_mask = fg.reshape(b, -1)[..., None]
                 box_losses.append(
-                    (smooth_l1_loss(box_p, box_t) * box_mask).sum())
+                    (smooth_l1_loss(box_p, box_t.reshape(
+                        b, -1, self.box_size)) * box_mask).sum())
 
         fg_total = jnp.stack(fg_counts).sum()
         cls_loss = jnp.stack(cls_losses).sum() / fg_total

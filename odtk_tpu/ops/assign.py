@@ -60,12 +60,14 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
               height, width, num_anchors, one_hot_cls, flat=False):
     """Depth/cls/box maps from best matches. Accepts [..., N] inputs
     (optional leading batch dims); the anchor axis unflattens to
-    (H, W, A) — unless ``flat=True``, which keeps the (H*W*A)-flat
-    anchor axis. The flat form matches the memory order of an NHWC
-    head reshaped [B, H, W, A*K] -> [B, H*W*A, K] (channels are
-    anchor-major), so the loss can consume it with zero layout copies
-    (the [H, W, A, K] form costs ~4 ms/step of physical transposes at
-    832 px on v5e)."""
+    (H, W, A) — unless ``flat=True``, which returns the fused-loss
+    form: cls/depth [H*W, A] and deltas [H*W, A*nb]. That is the NHWC
+    head's memory order ([B, H, W, A*K] -> [BHW, A*K] is a bitcast;
+    channels are anchor-major), so the loss consumes everything with
+    zero layout copies. The [H, W, A, K] form costs ~4 ms/step of
+    physical transposes at 832 px on v5e, and returning the (H*W*A)-
+    flat axis instead of (H*W, A*nb) left a ~1.25 ms/step [B,N,4]
+    relayout copy in front of the loss kernel (profiled r3)."""
     lead = best_iou.shape[:-1]
     lo, hi = anchor_ious
     depth = jnp.full_like(best_iou, -1.0)
@@ -83,7 +85,13 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
             jnp.int32)
 
     if flat:
-        return cls_target, deltas, depth
+        hw = height * width
+        nb = deltas.shape[-1]
+        if not one_hot_cls:
+            cls_target = cls_target.reshape(*lead, hw, num_anchors)
+        return (cls_target,
+                deltas.reshape(*lead, hw, num_anchors * nb),
+                depth.reshape(*lead, hw, num_anchors))
     grid = (height, width, num_anchors)
     if one_hot_cls:
         cls_target = cls_target.reshape(*lead, *grid, num_classes)

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -177,60 +178,83 @@ def _build(anchors, classes, alpha, gamma, block, interpret):
     return focal_sum_2d
 
 
-def _box_fwd(bxa, bta, da, beta):
-    """Per-slot smooth-L1 partial sum. bxa/bta [R, D] f32, da [R, 1] f32."""
-    fg = (da > 0.0).astype(jnp.float32)
-    d = bxa - bta
-    ad = jnp.abs(d)
-    l = jnp.where(ad >= beta, ad - 0.5 * beta, 0.5 * ad * ad / beta)
-    return jnp.sum(fg * l)
+def _loss_fwd_kernel(x_ref, bx_ref, bt_ref, cls_ref, dep_ref, out_ref,
+                     *dx_refs, anchors, classes, box_dim, alpha, gamma,
+                     beta, want_dx):
+    """Full-lane-width joint (focal, smooth-L1) forward; optionally also
+    emits the unit gradients (dloss/dx before the cotangent scale).
 
-
-def _loss_fwd_kernel(x_ref, bx_ref, bt_ref, cls_ref, dep_ref, out_ref, *,
-                     anchors, classes, box_dim, alpha, gamma, beta):
+    The earlier form looped the anchor axis in [block, classes] slabs —
+    80-lane slices of a 128-lane register, so every transcendental ran
+    at 62% lane utilization AND each slab needed a lane-rotation to
+    realign (non-128-multiple offsets). Here the whole [block, A*K]
+    operand is processed at once: the per-column class/depth values are
+    expanded from [block, A] via one tiny MXU contraction against a
+    trace-time block-diagonal constant ([A, A*K] with E[a, c] = (c//K
+    == a)), and the per-column class index is a trace-time iota%K
+    constant. Emitting dx in the forward makes the backward a plain
+    XLA scale (the kernel is VPU-transcendental-bound, so recomputing
+    every term in a second pass — the old backward kernel — cost more
+    than the extra VMEM->HBM write).
+    """
     # out_ref is a (1, 2) SMEM accumulator: [cls_sum, box_sum]
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[0, 0] = jnp.float32(0.0)
         out_ref[0, 1] = jnp.float32(0.0)
 
-    x = x_ref[:].astype(jnp.float32)
-    bx = bx_ref[:].astype(jnp.float32)
+    ck = anchors * classes
+    cb = anchors * box_dim
+    # in-kernel constants (pallas_call rejects closed-over arrays):
+    # per-column class index and the block-diagonal anchor expanders
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+    kmod = col_k - classes * (col_k // classes)            # iota % K
+    e_cls = (jax.lax.broadcasted_iota(jnp.int32, (anchors, ck), 1)
+             // classes
+             == jax.lax.broadcasted_iota(jnp.int32, (anchors, ck), 0)) \
+        .astype(jnp.float32)                               # [A, A*K]
+    e_box = (jax.lax.broadcasted_iota(jnp.int32, (anchors, cb), 1)
+             // box_dim
+             == jax.lax.broadcasted_iota(jnp.int32, (anchors, cb), 0)) \
+        .astype(jnp.float32)                               # [A, A*D]
+
+    x = x_ref[:].astype(jnp.float32)                       # [R, A*K]
+    ca = jnp.dot(cls_ref[:], e_cls,
+                 preferred_element_type=jnp.float32)       # [R, A*K]
+    da = jnp.dot(dep_ref[:], e_cls,
+                 preferred_element_type=jnp.float32)       # [R, A*K]
+
+    fg = (da > 0.0).astype(jnp.float32)
+    t = (kmod == ca.astype(jnp.int32)).astype(jnp.float32) * fg
+    valid = (da >= 0.0).astype(jnp.float32)
+    s = jax.nn.sigmoid(x)
+    ce = jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p_t = t * s + (1.0 - t) * (1.0 - s)
+    q = 1.0 - p_t
+    qg = q * q if gamma == 2.0 else q ** gamma
+    a_t = t * alpha + (1.0 - t) * (1.0 - alpha)
+    cls_total = jnp.sum(valid * a_t * qg * ce)
+
+    bx = bx_ref[:].astype(jnp.float32)                     # [R, A*D]
     bt = bt_ref[:].astype(jnp.float32)
-    cls_total = jnp.float32(0.0)
-    box_total = jnp.float32(0.0)
-    for a in range(anchors):
-        da = dep_ref[:, a:a + 1]
-        valid, a_t, _, _, _, qg, ce = _terms(
-            x[:, a * classes:(a + 1) * classes],
-            cls_ref[:, a:a + 1], da, classes, alpha, gamma)
-        cls_total = cls_total + jnp.sum(valid * a_t * qg * ce)
-        sl = slice(a * box_dim, (a + 1) * box_dim)
-        box_total = box_total + _box_fwd(bx[:, sl], bt[:, sl], da, beta)
+    fgb = (jnp.dot(dep_ref[:], e_box,
+                   preferred_element_type=jnp.float32) > 0.0) \
+        .astype(jnp.float32)
+    d = bx - bt
+    ad = jnp.abs(d)
+    sl1 = jnp.where(ad >= beta, ad - 0.5 * beta, 0.5 * ad * ad / beta)
+    box_total = jnp.sum(fgb * sl1)
+
     out_ref[0, 0] += cls_total
     out_ref[0, 1] += box_total
 
-
-def _loss_bwd_kernel(g_ref, x_ref, bx_ref, bt_ref, cls_ref, dep_ref,
-                     dx_ref, dbx_ref, *, anchors, classes, box_dim,
-                     alpha, gamma, beta):
-    g_cls = g_ref[0, 0]
-    g_box = g_ref[0, 1]
-    x = x_ref[:].astype(jnp.float32)
-    bx = bx_ref[:].astype(jnp.float32)
-    bt = bt_ref[:].astype(jnp.float32)
-    for a in range(anchors):
-        da = dep_ref[:, a:a + 1]
-        sl = slice(a * classes, (a + 1) * classes)
-        valid, a_t, t, p_t, q, qg, ce = _terms(
-            x[:, sl], cls_ref[:, a:a + 1], da, classes, alpha, gamma)
+    if want_dx:
+        dx_ref, dbx_ref = dx_refs
         dx = -a_t * (2.0 * t - 1.0) * qg * (gamma * p_t * ce + q)
-        dx_ref[:, sl] = (g_cls * valid * dx).astype(dx_ref.dtype)
-        bsl = slice(a * box_dim, (a + 1) * box_dim)
-        fg = (da > 0.0).astype(jnp.float32)
+        dx_ref[:] = (valid * dx).astype(dx_ref.dtype)
         # d smooth_l1 / d pred = clamp(diff / beta, -1, 1)
-        dbx = jnp.clip((bx[:, bsl] - bt[:, bsl]) / beta, -1.0, 1.0)
-        dbx_ref[:, bsl] = (g_box * fg * dbx).astype(dbx_ref.dtype)
+        dbx_ref[:] = (fgb * jnp.clip(d / beta, -1.0, 1.0)) \
+            .astype(dbx_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -239,19 +263,31 @@ def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
     """custom-VJP (focal_sum, smooth_l1_sum) over 2-D operands."""
     ck = anchors * classes
     cb = anchors * box_dim
-    fwd_k = functools.partial(_loss_fwd_kernel, anchors=anchors,
-                              classes=classes, box_dim=box_dim,
-                              alpha=alpha, gamma=gamma, beta=beta)
-    bwd_k = functools.partial(_loss_bwd_kernel, anchors=anchors,
-                              classes=classes, box_dim=box_dim,
-                              alpha=alpha, gamma=gamma, beta=beta)
 
-    def run_fwd(x2d, bx2d, bt2d, cls2d, dep2d):
+    def run_fwd(x2d, bx2d, bt2d, cls2d, dep2d, want_dx):
         m = x2d.shape[0]
         m_pad = -(-m // block) * block
         grid = m_pad // block
-        sums = pl.pallas_call(
-            fwd_k,
+        kern = functools.partial(
+            _loss_fwd_kernel, anchors=anchors, classes=classes,
+            box_dim=box_dim, alpha=alpha, gamma=gamma, beta=beta,
+            want_dx=want_dx)
+        out_specs = [pl.BlockSpec((1, 2), lambda g: (0, 0),
+                                  memory_space=pltpu.SMEM)]
+        out_shape = [jax.ShapeDtypeStruct((1, 2), jnp.float32)]
+        if want_dx:
+            out_specs += [
+                pl.BlockSpec((block, ck), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((m_pad, ck), x2d.dtype),
+                jax.ShapeDtypeStruct((m_pad, cb), bx2d.dtype),
+            ]
+        outs = pl.pallas_call(
+            kern,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((block, ck), lambda g: (g, 0),
@@ -265,70 +301,39 @@ def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
                 pl.BlockSpec((block, anchors), lambda g: (g, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 2), lambda g: (0, 0),
-                                   memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(_pad_rows(x2d, m_pad, 0.0),
           _pad_rows(bx2d, m_pad, 0.0),
           _pad_rows(bt2d, m_pad, 0.0),
           _pad_rows(cls2d, m_pad, 0.0),
           _pad_rows(dep2d, m_pad, -1.0))       # pad rows are invalid
+        sums = outs[0]
+        if want_dx:
+            return (sums[0, 0], sums[0, 1]), outs[1][:m], outs[2][:m]
         return sums[0, 0], sums[0, 1]
-
-    def run_bwd(g_cls, g_box, x2d, bx2d, bt2d, cls2d, dep2d):
-        m = x2d.shape[0]
-        m_pad = -(-m // block) * block
-        grid = m_pad // block
-        dx, dbx = pl.pallas_call(
-            bwd_k,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((1, 2), lambda g: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((block, ck), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, cb), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, cb), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, anchors), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, anchors), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((block, ck), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, cb), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((m_pad, ck), x2d.dtype),
-                jax.ShapeDtypeStruct((m_pad, cb), bx2d.dtype),
-            ],
-            interpret=interpret,
-        )(jnp.stack([g_cls, g_box]).astype(jnp.float32).reshape(1, 2),
-          _pad_rows(x2d, m_pad, 0.0),
-          _pad_rows(bx2d, m_pad, 0.0),
-          _pad_rows(bt2d, m_pad, 0.0),
-          _pad_rows(cls2d, m_pad, 0.0),
-          _pad_rows(dep2d, m_pad, -1.0))
-        return dx[:m], dbx[:m]
 
     @jax.custom_vjp
     def loss_sums_2d(x2d, bx2d, bt2d, cls2d, dep2d):
-        return run_fwd(x2d, bx2d, bt2d, cls2d, dep2d)
+        return run_fwd(x2d, bx2d, bt2d, cls2d, dep2d, False)
 
     def fwd(x2d, bx2d, bt2d, cls2d, dep2d):
-        return (run_fwd(x2d, bx2d, bt2d, cls2d, dep2d),
-                (x2d, bx2d, bt2d, cls2d, dep2d))
+        sums, dx_unit, dbx_unit = run_fwd(x2d, bx2d, bt2d, cls2d, dep2d,
+                                          True)
+        return sums, (dx_unit, dbx_unit)
 
     def bwd(res, gs):
-        x2d, bx2d, bt2d, cls2d, dep2d = res
-        dx, dbx = run_bwd(gs[0], gs[1], x2d, bx2d, bt2d, cls2d, dep2d)
-        return (dx, dbx, jnp.zeros_like(bt2d), jnp.zeros_like(cls2d),
-                jnp.zeros_like(dep2d))
+        dx_unit, dbx_unit = res
+        m = dx_unit.shape[0]
+        # the cotangent scale is the whole backward — plain XLA ops that
+        # fuse into whatever consumes the gradients (bt/cls/dep operands
+        # are always f32 in flat_call; their cotangents are unused)
+        dx = (gs[0] * dx_unit.astype(jnp.float32)).astype(dx_unit.dtype)
+        dbx = (gs[1] * dbx_unit.astype(jnp.float32)).astype(dbx_unit.dtype)
+        return (dx, dbx, jnp.zeros((m, cb), jnp.float32),
+                jnp.zeros((m, anchors), jnp.float32),
+                jnp.zeros((m, anchors), jnp.float32))
 
     loss_sums_2d.defvjp(fwd, bwd)
     return loss_sums_2d
