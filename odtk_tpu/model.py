@@ -240,11 +240,15 @@ class Model:
             size_px = (w * stride, h * stride)
             table = self.anchors(stride)
 
-            # flat=True: targets come back [B, H*W*A, K|nb|1] — the same
-            # memory order as the NHWC heads reshaped below (channels
-            # are anchor-major), so no physical transposes are needed
-            # between assignment and loss. one_hot_cls only off the
-            # fused path (the kernel builds the one-hot on the fly).
+            # flat=True: cls/depth come back [B, HW, A] (the NHWC head's
+            # memory order — channels are anchor-major — so no physical
+            # transposes between assignment and loss) and box deltas in
+            # the PLANAR [nb, B, HW, A] form (free bitcast of the
+            # assignment's column-major layout; the fused kernel
+            # interleaves in VMEM, the twin below transposes once).
+            # one_hot_cls only off the fused path (the kernel builds
+            # the one-hot on the fly). out_axes=1 on the box output
+            # keeps nb leading across the vmap.
             snap_kw = dict(size=size_px, stride=stride, anchor_table=table,
                            num_classes=self.classes,
                            anchor_ious=self.anchor_ious, flat=True,
@@ -255,9 +259,9 @@ class Model:
                 cls_t, box_t, depth = snap_to_anchors_rotated_batched(
                     targets.astype(jnp.float32), **snap_kw)
             else:
-                cls_t, box_t, depth = jax.vmap(partial(
-                    snap_to_anchors, **snap_kw))(
-                        targets.astype(jnp.float32))
+                cls_t, box_t, depth = jax.vmap(
+                    partial(snap_to_anchors, **snap_kw),
+                    out_axes=(0, 1, 0))(targets.astype(jnp.float32))
 
             b = cls_head.shape[0]
             fg = depth > 0
@@ -277,9 +281,11 @@ class Model:
                     (focal_loss(cls_p, cls_t) * cls_mask).sum())
                 box_p = box_head.reshape(b, -1, self.box_size)
                 box_mask = fg.reshape(b, -1)[..., None]
+                # planar [nb, B, HW, A] -> interleaved [B, N, nb]
+                box_ti = jnp.transpose(box_t, (1, 2, 3, 0)).reshape(
+                    b, -1, self.box_size)
                 box_losses.append(
-                    (smooth_l1_loss(box_p, box_t.reshape(
-                        b, -1, self.box_size)) * box_mask).sum())
+                    (smooth_l1_loss(box_p, box_ti) * box_mask).sum())
 
         fg_total = jnp.stack(fg_counts).sum()
         cls_loss = jnp.stack(cls_losses).sum() / fg_total

@@ -61,15 +61,16 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
     """Depth/cls/box maps from best matches. Accepts [..., N] inputs
     (optional leading batch dims); the anchor axis unflattens to
     (H, W, A) — unless ``flat=True``, which returns the fused-loss
-    form: cls/depth [H*W, A] and deltas [H*W, A*nb]. That is the NHWC
-    head's memory order ([B, H, W, A*K] -> [BHW, A*K] is a bitcast;
-    channels are anchor-major), so the loss consumes everything with
-    zero layout copies. The [H, W, A, K] form costs ~4 ms/step of
-    physical transposes at 832 px on v5e, and returning the (H*W*A)-
-    flat axis instead of (H*W, A*nb) left a ~1.25 ms/step [B,N,4]
-    relayout copy in front of the loss kernel (profiled r3)."""
+    form: cls/depth [*, H*W, A] (the NHWC head's memory order —
+    [B, H, W, A*K] -> [BHW, A*K] is a bitcast; channels are
+    anchor-major) and deltas PLANAR [nb, *, H*W, A]. The [H, W, A, K]
+    form costs ~4 ms/step of physical transposes at 832 px on v5e;
+    the earlier interleaved [*, HW, A*nb] delta form left a ~1.25
+    ms/step [B,N,nb] relayout copy in front of the loss kernel
+    (profiled r3) because box2delta's output is physically planar."""
     lead = best_iou.shape[:-1]
     lo, hi = anchor_ious
+    nb = deltas.shape[-1]
     depth = jnp.full_like(best_iou, -1.0)
     depth = jnp.where(best_iou < lo, 0.0, depth)
     depth = jnp.where(best_iou >= hi, best_cls + 1.0, depth)
@@ -86,18 +87,24 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
 
     if flat:
         hw = height * width
-        nb = deltas.shape[-1]
         if not one_hot_cls:
             cls_target = cls_target.reshape(*lead, hw, num_anchors)
-        return (cls_target,
-                deltas.reshape(*lead, hw, num_anchors * nb),
+        # Planar deltas [nb, *lead, HW, A]: box2delta builds the deltas
+        # column by column, so XLA lays the [*, N, nb] result out
+        # N-minor (physically nb contiguous planes). moveaxis to
+        # nb-leading is therefore a free bitcast, while reshaping to
+        # the interleaved [*, HW, A*nb] head order costs a profiled
+        # ~1.25 ms/step relayout copy at 832 px — the fused loss kernel
+        # re-interleaves in VMEM instead (focal_kernel._loss_fwd_kernel).
+        planar = jnp.moveaxis(deltas, -1, 0).reshape(
+            nb, *lead, hw, num_anchors)
+        return (cls_target, planar,
                 depth.reshape(*lead, hw, num_anchors))
     grid = (height, width, num_anchors)
     if one_hot_cls:
         cls_target = cls_target.reshape(*lead, *grid, num_classes)
     else:
         cls_target = cls_target.reshape(*lead, *grid)
-    nb = deltas.shape[-1]
     return (cls_target,
             deltas.reshape(*lead, *grid, nb),
             depth.reshape(*lead, *grid))

@@ -180,7 +180,7 @@ def _build(anchors, classes, alpha, gamma, block, interpret):
 
 def _loss_fwd_kernel(x_ref, bx_ref, bt_ref, cls_ref, dep_ref, out_ref,
                      *dx_refs, anchors, classes, box_dim, alpha, gamma,
-                     beta, want_dx):
+                     beta, want_dx, planar_bt):
     """Full-lane-width joint (focal, smooth-L1) forward; optionally also
     emits the unit gradients (dloss/dx before the cotangent scale).
 
@@ -236,7 +236,23 @@ def _loss_fwd_kernel(x_ref, bx_ref, bt_ref, cls_ref, dep_ref, out_ref,
     cls_total = jnp.sum(valid * a_t * qg * ce)
 
     bx = bx_ref[:].astype(jnp.float32)                     # [R, A*D]
-    bt = bt_ref[:].astype(jnp.float32)
+    if planar_bt:
+        # bt arrives as D planes [D, R, A] (the assignment's free
+        # bitcast layout, assign.py _finalize); interleave to the
+        # head's a-major/coord-minor column order in VMEM with D tiny
+        # MXU scatters E_j[a, c] = (c//D == a) & (c%D == j) — the XLA
+        # alternative is a ~1.25 ms/step [B, N, D] relayout copy.
+        ci = jax.lax.broadcasted_iota(jnp.int32, (anchors, cb), 1)
+        ai = jax.lax.broadcasted_iota(jnp.int32, (anchors, cb), 0)
+        bt = jnp.float32(0.0)
+        for j in range(box_dim):
+            e_j = ((ci // box_dim == ai)
+                   & (ci - box_dim * (ci // box_dim) == j)) \
+                .astype(jnp.float32)                       # [A, A*D]
+            bt = bt + jnp.dot(bt_ref[j].astype(jnp.float32), e_j,
+                              preferred_element_type=jnp.float32)
+    else:
+        bt = bt_ref[:].astype(jnp.float32)
     fgb = (jnp.dot(dep_ref[:], e_box,
                    preferred_element_type=jnp.float32) > 0.0) \
         .astype(jnp.float32)
@@ -259,10 +275,21 @@ def _loss_fwd_kernel(x_ref, bx_ref, bt_ref, cls_ref, dep_ref, out_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
-                 interpret):
-    """custom-VJP (focal_sum, smooth_l1_sum) over 2-D operands."""
+                 interpret, planar_bt=False):
+    """custom-VJP (focal_sum, smooth_l1_sum) over 2-D operands.
+
+    planar_bt: box targets arrive as [D, M, A] planes instead of the
+    interleaved [M, A*D] (see _loss_fwd_kernel)."""
     ck = anchors * classes
     cb = anchors * box_dim
+
+    def _pad_bt(bt, m_pad):
+        if not planar_bt:
+            return _pad_rows(bt, m_pad, 0.0)
+        m = bt.shape[1]
+        if m == m_pad:
+            return bt
+        return jnp.pad(bt, ((0, 0), (0, m_pad - m), (0, 0)))
 
     def run_fwd(x2d, bx2d, bt2d, cls2d, dep2d, want_dx):
         m = x2d.shape[0]
@@ -271,7 +298,7 @@ def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
         kern = functools.partial(
             _loss_fwd_kernel, anchors=anchors, classes=classes,
             box_dim=box_dim, alpha=alpha, gamma=gamma, beta=beta,
-            want_dx=want_dx)
+            want_dx=want_dx, planar_bt=planar_bt)
         out_specs = [pl.BlockSpec((1, 2), lambda g: (0, 0),
                                   memory_space=pltpu.SMEM)]
         out_shape = [jax.ShapeDtypeStruct((1, 2), jnp.float32)]
@@ -294,8 +321,11 @@ def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block, cb), lambda g: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, cb), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
+                (pl.BlockSpec((box_dim, block, anchors),
+                              lambda g: (0, g, 0),
+                              memory_space=pltpu.VMEM) if planar_bt else
+                 pl.BlockSpec((block, cb), lambda g: (g, 0),
+                              memory_space=pltpu.VMEM)),
                 pl.BlockSpec((block, anchors), lambda g: (g, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block, anchors), lambda g: (g, 0),
@@ -306,7 +336,7 @@ def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
             interpret=interpret,
         )(_pad_rows(x2d, m_pad, 0.0),
           _pad_rows(bx2d, m_pad, 0.0),
-          _pad_rows(bt2d, m_pad, 0.0),
+          _pad_bt(bt2d, m_pad),
           _pad_rows(cls2d, m_pad, 0.0),
           _pad_rows(dep2d, m_pad, -1.0))       # pad rows are invalid
         sums = outs[0]
@@ -331,7 +361,9 @@ def _build_joint(anchors, classes, box_dim, alpha, gamma, beta, block,
         # are always f32 in flat_call; their cotangents are unused)
         dx = (gs[0] * dx_unit.astype(jnp.float32)).astype(dx_unit.dtype)
         dbx = (gs[1] * dbx_unit.astype(jnp.float32)).astype(dbx_unit.dtype)
-        return (dx, dbx, jnp.zeros((m, cb), jnp.float32),
+        zbt = (jnp.zeros((box_dim, m, anchors), jnp.float32) if planar_bt
+               else jnp.zeros((m, cb), jnp.float32))
+        return (dx, dbx, zbt,
                 jnp.zeros((m, anchors), jnp.float32),
                 jnp.zeros((m, anchors), jnp.float32))
 
@@ -345,9 +377,12 @@ def detection_loss_sums_fused(cls_head, box_head, cls_idx, box_t, depth,
     """(focal_sum, smooth_l1_sum) for one level in ONE fused kernel pass.
 
     Extends focal_sum_fused with the box term: box_head [B, H, W, A*D]
-    in its native layout and box_t [B, N, D] (flat assignment output,
-    anchor-major — a bitcast of the same [BHW, A*D] layout) are read in
-    the same grid as the class head, sharing the depth-mask loads. The
+    in its native layout and box_t are read in the same grid as the
+    class head, sharing the depth-mask loads. box_t comes in one of
+    two forms: interleaved [B, N, D] (flat assignment output,
+    anchor-major — a bitcast of the same [BHW, A*D] layout), or planar
+    [D, B, HW, A] (the assignment's free-bitcast layout; the kernel
+    interleaves in VMEM, saving a ~1.25 ms/step XLA relayout). The
     separate XLA smooth-L1 materialized fp32 [B, N, D] temporaries in
     forward AND backward; here the diff never leaves VMEM. Semantics:
     smooth-L1(beta) summed over fg anchors (odtk/loss.py:20-31,
@@ -356,16 +391,21 @@ def detection_loss_sums_fused(cls_head, box_head, cls_idx, box_t, depth,
     b, h, w, chan = cls_head.shape
     anchors = chan // classes
     box_dim = box_head.shape[-1] // anchors
+    planar = box_t.ndim == 4
 
     def flat_call(chd, bhd, ci, bt, dp):
         x2d = chd.reshape(-1, chan)
         bx2d = bhd.reshape(-1, anchors * box_dim)
-        bt2d = bt.astype(jnp.float32).reshape(-1, anchors * box_dim)
+        if planar:
+            bt2d = bt.astype(jnp.float32).reshape(box_dim, -1, anchors)
+        else:
+            bt2d = bt.astype(jnp.float32).reshape(-1, anchors * box_dim)
         cls2d = ci.astype(jnp.float32).reshape(-1, anchors)
         dep2d = dp.astype(jnp.float32).reshape(-1, anchors)
         fn2d = _build_joint(anchors, classes, box_dim, float(alpha),
                             float(gamma), float(beta),
-                            _pick_block(x2d.shape[0]), bool(interpret))
+                            _pick_block(x2d.shape[0]), bool(interpret),
+                            planar_bt=planar)
         return fn2d(x2d, bx2d, bt2d, cls2d, dep2d)
 
     if mesh is not None and mesh.size > 1:
@@ -373,11 +413,12 @@ def detection_loss_sums_fused(cls_head, box_head, cls_idx, box_t, depth,
 
         axis = mesh.axis_names[0]
         # check_vma=False: see focal_sum_fused
+        bt_spec = P(None, axis) if planar else P(axis)
         local = jax.shard_map(
             lambda *ops: jax.tree.map(
                 lambda s: jax.lax.psum(s, axis), flat_call(*ops)),
             mesh=mesh,
-            in_specs=(P(axis),) * 5,
+            in_specs=(P(axis), P(axis), P(axis), bt_spec, P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )

@@ -295,6 +295,53 @@ def test_joint_loss_rotated_dims_and_padding():
                                                     depth, 6)), rtol=1e-5)
 
 
+def test_joint_loss_planar_bt_matches_interleaved():
+    """The planar [D, B, HW, A] box-target form (the assignment's
+    free-bitcast layout; kernel interleaves in VMEM via MXU expanders)
+    gives the same sums and gradients as the interleaved [B, N, D]."""
+    from odtk_tpu.ops.pallas import detection_loss_sums_fused
+    head, box_head, cls_idx, box_t, depth, k = _joint_case(seed=11)
+    b, h, w, _ = head.shape
+    a, d = 3, 4
+    # [B, N, D] -> [D, B, HW, A]: N is (h, w, a)-ordered
+    planar = jnp.transpose(
+        box_t.reshape(b, h * w, a, d), (3, 0, 1, 2))
+
+    def loss(fn_bt, x, bxh):
+        c, bx = detection_loss_sums_fused(x, bxh, cls_idx, fn_bt, depth,
+                                          classes=k, interpret=True)
+        return 0.7 * c + 1.3 * bx
+
+    want = loss(box_t, head, box_head)
+    got = loss(planar, head, box_head)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    gw = jax.grad(lambda x, y: loss(box_t, x, y), argnums=(0, 1))(
+        head, box_head)
+    gg = jax.grad(lambda x, y: loss(planar, x, y), argnums=(0, 1))(
+        head, box_head)
+    for a_, b_ in zip(gg, gw):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_joint_loss_planar_bt_shard_map():
+    from jax.sharding import Mesh
+    from odtk_tpu.ops.pallas import detection_loss_sums_fused
+    head, box_head, cls_idx, box_t, depth, k = _joint_case(seed=13, b=8)
+    b, h, w, _ = head.shape
+    planar = jnp.transpose(box_t.reshape(b, h * w, 3, 4), (3, 0, 1, 2))
+    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
+    c, bx = detection_loss_sums_fused(head, box_head, cls_idx, planar,
+                                      depth, classes=k, mesh=mesh,
+                                      interpret=True)
+    np.testing.assert_allclose(
+        float(c), float(_focal_dense_reference(head, cls_idx, depth, k)),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(bx), float(_smooth_l1_dense_reference(box_head, box_t,
+                                                    depth, 4)), rtol=1e-5)
+
+
 def test_joint_loss_shard_map_matches_dense():
     from jax.sharding import Mesh
     from odtk_tpu.ops.pallas import detection_loss_sums_fused
