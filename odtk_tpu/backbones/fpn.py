@@ -58,5 +58,6 @@ class FPN(nn.Module):
 
 
 @register
-def MobileNetV2FPN(dtype=jnp.float32, name=None):
+def MobileNetV2FPN(dtype=jnp.float32, name=None, mesh=None):
+    del mesh  # 3x3/s2 stem — no fused-stem path to shard
     return FPN(MobileNet(outputs=(6, 13, 17), dtype=dtype), dtype=dtype, name=name)

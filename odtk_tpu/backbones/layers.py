@@ -30,10 +30,15 @@ class FixedBatchNorm(nn.Module):
 
     All four tensors are non-trainable (collection ``frozen``); values
     come from pretrained-weight import or stay at identity init.
+
+    fold=True returns the folded fp32 (scale, shift) pair instead of
+    applying them (the fused-stem pool kernel consumes them directly);
+    variables are declared identically, so checkpoints are unaffected.
     """
     features: int
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -48,7 +53,63 @@ class FixedBatchNorm(nn.Module):
                             lambda: jnp.ones((f,), jnp.float32)).value
         w = scale * jax.lax.rsqrt(var + self.eps)
         b = bias - mean * w
+        if self.fold:
+            return w, b
         return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+def space_to_depth_fold(x):
+    """[B, H, W, C] -> col-pair-folded 2x2 space-to-depth
+    [B, H/2, W/4, 8C] (channel order (row-phase, col-phase, c), with a
+    further column-pair fold (col-phase', ...) merged in — the input the
+    stem phase convs consume). One real transpose; the column-pair fold
+    is a free row-major view."""
+    b, h, w, c = x.shape
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    return x2.reshape(b, h // 2, w // 4, 8 * c)
+
+
+def phase_kernels(kernel):
+    """[7, 7, Cin, O] stride-2 kernel -> (ke [4, 2, 8Cin, O],
+    ko [4, 3, 8Cin, O]) stride-1 kernels over the space-to-depth input,
+    producing the even / odd output columns respectively.
+
+    Derivation: out[i,j] = sum_{di,dj} w[di,dj] x[2i+di-3, 2j+dj-3];
+    writing input rows as (pair p, phase f): di = 2dp + f - 1, so the
+    (1,0)-padded 8x8 kernel reshaped [4,2,4,2,...] scatters w onto
+    (dp, f) taps; folding output-column phases splits the dq axis into
+    even (dq -> (du, fq)) and odd (the same with the dq axis padded by
+    one zero tap on each side). Pure pad/reshape ops — autodiff maps
+    the phase-conv weight gradients back to the [7,7,Cin,O] parameter.
+    Validated tap-for-tap against lax.conv (tests/test_backbones.py)."""
+    cin, o = kernel.shape[2], kernel.shape[3]
+    w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k4 = w8.reshape(4, 2, 4, 2, cin, o).transpose(0, 2, 1, 3, 4, 5)
+    k4 = k4.reshape(4, 4, 4 * cin, o)
+    ke = k4.reshape(4, 2, 8 * cin, o)
+    ko = jnp.pad(k4, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    ko = ko.reshape(4, 3, 8 * cin, o)
+    return ke, ko
+
+
+def phase_conv(x4, ke, ko, feature_group_count=1,
+               preferred_element_type=None):
+    """Run the two stem phase convs on the folded input: returns
+    (even-col, odd-col) outputs, each [B, H/2, W/4, O] — i.e. the
+    stride-2 conv's output with columns de-interleaved (ye = out[:,
+    :, 0::2], yo = out[:, :, 1::2], bit-for-bit up to accumulation
+    order)."""
+    kw = dict(window_strides=(1, 1),
+              dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+              feature_group_count=feature_group_count)
+    if preferred_element_type is not None:
+        kw['preferred_element_type'] = preferred_element_type
+    ye = jax.lax.conv_general_dilated(x4, ke, padding=[(2, 1), (1, 0)],
+                                      **kw)
+    yo = jax.lax.conv_general_dilated(x4, ko, padding=[(2, 1), (1, 1)],
+                                      **kw)
+    return ye, yo
 
 
 class QuantConv(nn.Module):
@@ -75,6 +136,15 @@ class QuantConv(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
+    # s2d_phases: TPU stem mode for the 7x7/s2 conv — run as two
+    # stride-1 phase convs over the space-to-depth-folded input and
+    # return the (even-col, odd-col) output pair (consumed by the fused
+    # BN+ReLU+pool kernel). Parameter shape/name unchanged ([7,7,Cin,O]
+    # ``kernel``), so checkpoints and torch import are unaffected. The
+    # direct form pays a 3-channel MXU contraction, a [B,H/2,W/2,O]
+    # relayout, and misaligned 7x7x3 weight-gradient fixups — together
+    # ~3 ms/step at b=8 @832 on v5e.
+    s2d_phases: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -106,6 +176,18 @@ class QuantConv(nn.Module):
             w_scale = self.get_variable('quant', 'w_scale')      # f32 [O]
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
                           -127, 127).astype(jnp.int8)
+            if self.s2d_phases:
+                ke, ko = phase_kernels(kernel.astype(jnp.int8))
+                pair = phase_conv(space_to_depth_fold(xq), ke, ko,
+                                  self.feature_group_count,
+                                  preferred_element_type=jnp.int32)
+                outs = []
+                for y in pair:
+                    y = y.astype(jnp.float32) * (act_scale * w_scale)
+                    if bias is not None:
+                        y = y + bias.astype(jnp.float32)
+                    outs.append(y.astype(self.dtype))
+                return tuple(outs)
             y = jax.lax.conv_general_dilated(
                 xq, kernel.astype(jnp.int8),
                 window_strides=self.strides, padding=padding,
@@ -123,6 +205,14 @@ class QuantConv(nn.Module):
             w_scale = self.get_variable('quant', 'w_scale')      # f32 [O]
             kernel = (kernel.astype(jnp.float32)
                       * w_scale).astype(self.dtype)
+
+        if self.s2d_phases:
+            ke, ko = phase_kernels(kernel.astype(self.dtype))
+            pair = phase_conv(space_to_depth_fold(x.astype(self.dtype)),
+                              ke, ko, self.feature_group_count)
+            if bias is None:
+                return pair
+            return tuple(y + bias.astype(self.dtype) for y in pair)
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),

@@ -52,9 +52,13 @@ class RetinaNet(nn.Module):
     box_size: int = 4           # 6 when rotated
     rotated: bool = False
     dtype: Any = jnp.float32
+    # >1-device mesh for ops GSPMD can't partition (the Pallas fused
+    # stem pool) — threaded to the backbones; see Model.set_spmd_mesh
+    spmd_mesh: Any = None
 
     def setup(self):
         self.nets = [backbones_mod.build(b, dtype=self.dtype,
+                                         mesh=self.spmd_mesh,
                                          name=f'backbones_{b}')
                      for b in self.backbone_names]
         normal01 = nn.initializers.normal(stddev=0.01)
@@ -143,6 +147,7 @@ class Model:
             self.num_anchors *= len(self.angles)
         self.box_size = 6 if rotated_bbox else 4
 
+        self._spmd_mesh = None
         self.module = RetinaNet(
             backbone_names=tuple(self.backbones), classes=classes,
             num_anchors=self.num_anchors, box_size=self.box_size,
@@ -164,11 +169,26 @@ class Model:
         so existing variables remain valid."""
         if dtype != self.dtype:
             self.dtype = dtype
-            self.module = RetinaNet(
-                backbone_names=tuple(self.backbones), classes=self.classes,
-                num_anchors=self.num_anchors, box_size=self.box_size,
-                rotated=self.rotated_bbox, dtype=dtype)
+            self._rebuild_module()
         return self
+
+    def set_spmd_mesh(self, mesh):
+        """Thread a >1-device mesh into the module for Pallas ops that
+        GSPMD cannot auto-partition (the fused stem pool runs under
+        shard_map over the batch axis). Static module field — changing
+        it retraces, same as set_dtype; parameters are unaffected."""
+        mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if mesh is not self._spmd_mesh:
+            self._spmd_mesh = mesh
+            self._rebuild_module()
+        return self
+
+    def _rebuild_module(self):
+        self.module = RetinaNet(
+            backbone_names=tuple(self.backbones), classes=self.classes,
+            num_anchors=self.num_anchors, box_size=self.box_size,
+            rotated=self.rotated_bbox, dtype=self.dtype,
+            spmd_mesh=self._spmd_mesh)
 
     # ------------------------------------------------------------- anchors
     def anchors(self, stride):
@@ -344,6 +364,7 @@ class Model:
         key = (self.dtype,
                tuple(d.id for d in mesh.devices.flat) if mesh else None)
         if key not in self._jitted:
+            self.set_spmd_mesh(mesh)
             if mesh is None:
                 self._jitted[key] = jax.jit(self.inference_fn)
             else:

@@ -13,7 +13,8 @@ from .nms_rotated_kernel import nms_rotated_pallas
 from .iou_kernel import rotated_best_match_pallas
 from .match_rotated_kernel import rotated_match_pallas
 from .focal_kernel import detection_loss_sums_fused, focal_sum_fused
+from .stem_kernel import fused_bn_relu_pool
 
 __all__ = ['nms_pallas', 'nms_rotated_pallas', 'rotated_best_match_pallas',
            'rotated_match_pallas', 'focal_sum_fused',
-           'detection_loss_sums_fused']
+           'detection_loss_sums_fused', 'fused_bn_relu_pool']

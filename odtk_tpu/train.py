@@ -94,9 +94,10 @@ def make_train_step(model, tx, mesh):
     rep = replicated_sharding(mesh)
     img_shard = batch_sharding(mesh, 4)
     tgt_shard = batch_sharding(mesh, 3)
-    # the fused focal kernel can't be auto-partitioned by GSPMD; hand
-    # the mesh to the model so it wraps the kernel in shard_map
+    # the fused focal and stem-pool kernels can't be auto-partitioned
+    # by GSPMD; hand the mesh to the model so it wraps them in shard_map
     model._loss_mesh = mesh if mesh.size > 1 else None
+    model.set_spmd_mesh(mesh)
 
     def step(params, opt_state, frozen, images, targets):
         def loss_fn(p):

@@ -45,6 +45,105 @@ def test_c4_backbone_shapes(name):
     assert out[0].shape[1:3] == (16, 16)   # stride 16
 
 
+def _stem_case(seed=0, b=2, h=64, w=64, o=16):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, h, w, 3), jnp.float32)
+    w7 = jnp.asarray(rng.randn(7, 7, 3, o) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, o), jnp.float32)
+    shift = jnp.asarray(rng.randn(o) * 0.2, jnp.float32)
+    return x, w7, scale, shift
+
+
+def test_phase_conv_matches_direct_conv():
+    """The space-to-depth phase convs reproduce the 7x7/s2 conv's even
+    and odd output columns exactly (modulo accumulation order)."""
+    import numpy as np
+    from odtk_tpu.backbones.layers import (phase_conv, phase_kernels,
+                                           space_to_depth_fold)
+    x, w7, _, _ = _stem_case()
+    ref = jax.lax.conv_general_dilated(
+        x, w7, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ye, yo = phase_conv(space_to_depth_fold(x), *phase_kernels(w7))
+    np.testing.assert_allclose(np.asarray(ye),
+                               np.asarray(ref[:, :, 0::2, :]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yo),
+                               np.asarray(ref[:, :, 1::2, :]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _plain_stem(x, w7, scale, shift):
+    from flax import linen as nn
+    y = jax.lax.conv_general_dilated(
+        x, w7, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    z = nn.relu(y * scale + shift)
+    return nn.max_pool(z, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def test_fused_stem_pool_twin_matches_plain():
+    import numpy as np
+    from odtk_tpu.backbones.layers import (phase_conv, phase_kernels,
+                                           space_to_depth_fold)
+    from odtk_tpu.ops.pallas import fused_bn_relu_pool
+    x, w7, scale, shift = _stem_case(seed=1)
+    ye, yo = phase_conv(space_to_depth_fold(x), *phase_kernels(w7))
+    got = fused_bn_relu_pool(ye, yo, scale, shift)
+    want = _plain_stem(x, w7, scale, shift)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_pool_pallas_interpret_matches_twin():
+    """Pallas kernel (interpret mode) == jnp twin: forward and the
+    routed gradients through the whole stem (w7 cotangent)."""
+    import numpy as np
+    from odtk_tpu.backbones.layers import (phase_conv, phase_kernels,
+                                           space_to_depth_fold)
+    from odtk_tpu.ops.pallas import fused_bn_relu_pool
+    # h=128 -> 32 pooled rows = 2 blocks/image of 16: exercises the
+    # cross-block prev-row / next-window paths of both kernels
+    x, w7, scale, shift = _stem_case(seed=2, b=2, h=128, w=64, o=8)
+
+    def run(interpret):
+        def loss(w):
+            ye, yo = phase_conv(space_to_depth_fold(x), *phase_kernels(w))
+            p = fused_bn_relu_pool(ye, yo, scale, shift,
+                                   interpret=interpret)
+            # nonuniform weighting so routing errors change the value
+            k = jnp.arange(p.size, dtype=jnp.float32).reshape(p.shape)
+            return jnp.sum(p * jnp.sin(k)), p
+        (val, p), grad = jax.value_and_grad(loss, has_aux=True)(w7)
+        return val, p, grad
+
+    v_t, p_t, g_t = run(False)          # twin (CPU dispatch)
+    v_k, p_k, g_k = run(True)           # pallas interpret
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(v_k), float(v_t), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_t),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_fused_stem_matches_plain_stem():
+    """Whole-backbone check: fused_stem=True and False produce the same
+    features from the same parameters (CPU twin path)."""
+    import numpy as np
+    from odtk_tpu.backbones.resnet import ResNet
+    x = jnp.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                      (1, 64, 64, 3)), jnp.float32)
+    fused = ResNet(layers=(2, 2, 2, 2), bottleneck=False, fused_stem=True)
+    plain = ResNet(layers=(2, 2, 2, 2), bottleneck=False, fused_stem=False)
+    vs = plain.init(jax.random.PRNGKey(0), x)
+    of = fused.apply(vs, x)
+    op = plain.apply(vs, x)
+    for a, b in zip(of, op):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_resnext_grouped_conv_shapes():
     net = backbones.build('ResNeXt50_32x4dFPN')
     rng = jax.random.PRNGKey(0)
