@@ -8,6 +8,7 @@ layer{1-4}.{i}.conv{j}/bn{j}/downsample.{0,1}) so pretrained torch
 checkpoints map 1:1 through io.torch_import.
 """
 
+import os
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -101,7 +102,8 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     dtype: Any = jnp.float32
-    fused_stem: bool = True
+    # ODTK_FUSED_STEM=0 is the A/B escape hatch (read at import time)
+    fused_stem: bool = os.environ.get('ODTK_FUSED_STEM', '1') != '0'
     mesh: Any = None
 
     # FPN channel table hook (odtk/backbones/fpn.py:20-22)
