@@ -36,7 +36,7 @@ PEAK_GBS = 819.0         # v5e HBM bandwidth
 def make_stager(size):
     s2, s4 = size // 2, size // 4
     s8, s16, s32 = size // 8, size // 16, size // 32
-    s64, s128 = size // 64, size // 128
+    s64, s128 = -(-size // 64), -(-size // 128)    # ceil: P6/P7 pad up
     hw = s8 * s8 + s16 * s16 + s32 * s32 + s64 * s64 + s128 * s128
 
     def stage(name, ln):
