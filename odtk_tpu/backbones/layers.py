@@ -70,46 +70,48 @@ def space_to_depth_fold(x):
     return x2.reshape(b, h // 2, w // 4, 8 * c)
 
 
-def phase_kernels(kernel):
-    """[7, 7, Cin, O] stride-2 kernel -> (ke [4, 2, 8Cin, O],
-    ko [4, 3, 8Cin, O]) stride-1 kernels over the space-to-depth input,
-    producing the even / odd output columns respectively.
+def merged_phase_kernel(kernel):
+    """[7, 7, Cin, O] stride-2 kernel -> km [4, 3, 8Cin, 2O]: ONE
+    stride-1 kernel over the space-to-depth input whose output channels
+    pack the even-column result in [..., :O] and the odd-column result
+    in [..., O:] (i.e. the stride-2 conv's columns de-interleaved,
+    lane-packed — full 128-wide MXU output tiles for O=64, where two
+    separate 64-channel phase convs ran at half lane utilization).
 
     Derivation: out[i,j] = sum_{di,dj} w[di,dj] x[2i+di-3, 2j+dj-3];
     writing input rows as (pair p, phase f): di = 2dp + f - 1, so the
     (1,0)-padded 8x8 kernel reshaped [4,2,4,2,...] scatters w onto
     (dp, f) taps; folding output-column phases splits the dq axis into
-    even (dq -> (du, fq)) and odd (the same with the dq axis padded by
-    one zero tap on each side). Pure pad/reshape ops — autodiff maps
-    the phase-conv weight gradients back to the [7,7,Cin,O] parameter.
+    even taps (dq -> (du, fq), a kw=2 kernel zero-extended to kw=3 at
+    the tail) and odd taps (the same with the dq axis padded by one
+    zero tap on each side). Pure pad/reshape/concat ops — autodiff maps
+    the merged-conv weight gradient back to the [7,7,Cin,O] parameter.
     Validated tap-for-tap against lax.conv (tests/test_backbones.py)."""
     cin, o = kernel.shape[2], kernel.shape[3]
     w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
     k4 = w8.reshape(4, 2, 4, 2, cin, o).transpose(0, 2, 1, 3, 4, 5)
     k4 = k4.reshape(4, 4, 4 * cin, o)
     ke = k4.reshape(4, 2, 8 * cin, o)
+    ke = jnp.pad(ke, ((0, 0), (0, 1), (0, 0), (0, 0)))
     ko = jnp.pad(k4, ((0, 0), (1, 1), (0, 0), (0, 0)))
     ko = ko.reshape(4, 3, 8 * cin, o)
-    return ke, ko
+    return jnp.concatenate([ke, ko], axis=3)
 
 
-def phase_conv(x4, ke, ko, feature_group_count=1,
-               preferred_element_type=None):
-    """Run the two stem phase convs on the folded input: returns
-    (even-col, odd-col) outputs, each [B, H/2, W/4, O] — i.e. the
-    stride-2 conv's output with columns de-interleaved (ye = out[:,
-    :, 0::2], yo = out[:, :, 1::2], bit-for-bit up to accumulation
-    order)."""
+def merged_phase_conv(x4, km, feature_group_count=1,
+                      preferred_element_type=None):
+    """Run the merged stem phase conv on the folded input: returns
+    [B, H/2, W/4, 2O] with channels [even-col O | odd-col O] — the
+    stride-2 conv's output with columns de-interleaved into the channel
+    axis (y[..., :O] = out[:, :, 0::2], y[..., O:] = out[:, :, 1::2],
+    bit-for-bit up to accumulation order)."""
     kw = dict(window_strides=(1, 1),
               dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
               feature_group_count=feature_group_count)
     if preferred_element_type is not None:
         kw['preferred_element_type'] = preferred_element_type
-    ye = jax.lax.conv_general_dilated(x4, ke, padding=[(2, 1), (1, 0)],
-                                      **kw)
-    yo = jax.lax.conv_general_dilated(x4, ko, padding=[(2, 1), (1, 1)],
-                                      **kw)
-    return ye, yo
+    return jax.lax.conv_general_dilated(x4, km, padding=[(2, 1), (1, 1)],
+                                        **kw)
 
 
 class QuantConv(nn.Module):
@@ -136,10 +138,12 @@ class QuantConv(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
-    # s2d_phases: TPU stem mode for the 7x7/s2 conv — run as two
-    # stride-1 phase convs over the space-to-depth-folded input and
-    # return the (even-col, odd-col) output pair (consumed by the fused
-    # BN+ReLU+pool kernel). Parameter shape/name unchanged ([7,7,Cin,O]
+    # s2d_phases: TPU stem mode for the 7x7/s2 conv — run as ONE
+    # stride-1 merged phase conv over the space-to-depth-folded input,
+    # returning [B, H/2, W/4, 2O] with output columns de-interleaved
+    # into lane-packed channels [even O | odd O] (consumed by the fused
+    # BN+ReLU+pool kernel in exactly this layout — no relayout between
+    # conv and pool). Parameter shape/name unchanged ([7,7,Cin,O]
     # ``kernel``), so checkpoints and torch import are unaffected. The
     # direct form pays a 3-channel MXU contraction, a [B,H/2,W/2,O]
     # relayout, and misaligned 7x7x3 weight-gradient fixups — together
@@ -177,17 +181,15 @@ class QuantConv(nn.Module):
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
                           -127, 127).astype(jnp.int8)
             if self.s2d_phases:
-                ke, ko = phase_kernels(kernel.astype(jnp.int8))
-                pair = phase_conv(space_to_depth_fold(xq), ke, ko,
-                                  self.feature_group_count,
-                                  preferred_element_type=jnp.int32)
-                outs = []
-                for y in pair:
-                    y = y.astype(jnp.float32) * (act_scale * w_scale)
-                    if bias is not None:
-                        y = y + bias.astype(jnp.float32)
-                    outs.append(y.astype(self.dtype))
-                return tuple(outs)
+                km = merged_phase_kernel(kernel.astype(jnp.int8))
+                y = merged_phase_conv(space_to_depth_fold(xq), km,
+                                      self.feature_group_count,
+                                      preferred_element_type=jnp.int32)
+                y = (y.astype(jnp.float32)
+                     * (act_scale * jnp.tile(w_scale, 2)))
+                if bias is not None:
+                    y = y + jnp.tile(bias, 2).astype(jnp.float32)
+                return y.astype(self.dtype)
             y = jax.lax.conv_general_dilated(
                 xq, kernel.astype(jnp.int8),
                 window_strides=self.strides, padding=padding,
@@ -207,12 +209,12 @@ class QuantConv(nn.Module):
                       * w_scale).astype(self.dtype)
 
         if self.s2d_phases:
-            ke, ko = phase_kernels(kernel.astype(self.dtype))
-            pair = phase_conv(space_to_depth_fold(x.astype(self.dtype)),
-                              ke, ko, self.feature_group_count)
+            km = merged_phase_kernel(kernel.astype(self.dtype))
+            y = merged_phase_conv(space_to_depth_fold(x.astype(self.dtype)),
+                                  km, self.feature_group_count)
             if bias is None:
-                return pair
-            return tuple(y + bias.astype(self.dtype) for y in pair)
+                return y
+            return y + jnp.tile(bias, 2).astype(self.dtype)
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),

@@ -89,10 +89,12 @@ class ResNet(nn.Module):
 
     x: [B, H, W, 3] NHWC. Levels: C2=stride 4 ... C5=stride 32.
 
-    fused_stem (default): conv1 runs as two stride-1 space-to-depth
-    phase convs and BN+ReLU+maxpool as one fused op (Pallas on TPU, jnp
-    twin elsewhere) — the [B, H/2, W/2, 64] stem activation never hits
-    HBM. Same parameters/checkpoints either way; ~5 ms/step at b=8
+    fused_stem (default): conv1 runs as ONE stride-1 space-to-depth
+    merged phase conv (output columns de-interleaved into lane-packed
+    channels) and BN+ReLU+maxpool as one fused op consuming that layout
+    directly (Pallas on TPU, jnp twin elsewhere) — the [B, H/2, W/2,
+    64] stem activation never hits HBM and no relayout runs between
+    conv and pool. Same parameters/checkpoints either way; ~5 ms/step at b=8
     @832 on v5e. ``mesh``: >1-device mesh threaded to the Pallas op
     (shard_map over batch — pallas_call is opaque to GSPMD).
     """
@@ -116,11 +118,11 @@ class ResNet(nn.Module):
     def __call__(self, x):
         if self.fused_stem:
             from ..ops.pallas.stem_kernel import fused_bn_relu_pool
-            ye, yo = _conv(64, 7, 2, name='conv1', dtype=self.dtype,
-                           s2d=True)(x)
+            y = _conv(64, 7, 2, name='conv1', dtype=self.dtype,
+                      s2d=True)(x)
             scale, shift = FixedBatchNorm(64, dtype=self.dtype,
                                           name='bn1', fold=True)(None)
-            x = fused_bn_relu_pool(ye, yo, scale, shift, mesh=self.mesh)
+            x = fused_bn_relu_pool(y, scale, shift, mesh=self.mesh)
         else:
             x = _conv(64, 7, 2, name='conv1', dtype=self.dtype)(x)
             x = FixedBatchNorm(64, dtype=self.dtype, name='bn1')(x)

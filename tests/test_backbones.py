@@ -56,20 +56,23 @@ def _stem_case(seed=0, b=2, h=64, w=64, o=16):
 
 
 def test_phase_conv_matches_direct_conv():
-    """The space-to-depth phase convs reproduce the 7x7/s2 conv's even
-    and odd output columns exactly (modulo accumulation order)."""
+    """The merged space-to-depth phase conv reproduces the 7x7/s2
+    conv's even and odd output columns exactly (modulo accumulation
+    order), lane-packed as [even O | odd O]."""
     import numpy as np
-    from odtk_tpu.backbones.layers import (phase_conv, phase_kernels,
+    from odtk_tpu.backbones.layers import (merged_phase_conv,
+                                           merged_phase_kernel,
                                            space_to_depth_fold)
     x, w7, _, _ = _stem_case()
+    o = w7.shape[-1]
     ref = jax.lax.conv_general_dilated(
         x, w7, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    ye, yo = phase_conv(space_to_depth_fold(x), *phase_kernels(w7))
-    np.testing.assert_allclose(np.asarray(ye),
+    y = merged_phase_conv(space_to_depth_fold(x), merged_phase_kernel(w7))
+    np.testing.assert_allclose(np.asarray(y[..., :o]),
                                np.asarray(ref[:, :, 0::2, :]),
                                rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(yo),
+    np.testing.assert_allclose(np.asarray(y[..., o:]),
                                np.asarray(ref[:, :, 1::2, :]),
                                rtol=1e-5, atol=1e-5)
 
@@ -85,12 +88,13 @@ def _plain_stem(x, w7, scale, shift):
 
 def test_fused_stem_pool_twin_matches_plain():
     import numpy as np
-    from odtk_tpu.backbones.layers import (phase_conv, phase_kernels,
+    from odtk_tpu.backbones.layers import (merged_phase_conv,
+                                           merged_phase_kernel,
                                            space_to_depth_fold)
     from odtk_tpu.ops.pallas import fused_bn_relu_pool
     x, w7, scale, shift = _stem_case(seed=1)
-    ye, yo = phase_conv(space_to_depth_fold(x), *phase_kernels(w7))
-    got = fused_bn_relu_pool(ye, yo, scale, shift)
+    y = merged_phase_conv(space_to_depth_fold(x), merged_phase_kernel(w7))
+    got = fused_bn_relu_pool(y, scale, shift)
     want = _plain_stem(x, w7, scale, shift)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
@@ -100,7 +104,8 @@ def test_fused_stem_pool_pallas_interpret_matches_twin():
     """Pallas kernel (interpret mode) == jnp twin: forward and the
     routed gradients through the whole stem (w7 cotangent)."""
     import numpy as np
-    from odtk_tpu.backbones.layers import (phase_conv, phase_kernels,
+    from odtk_tpu.backbones.layers import (merged_phase_conv,
+                                           merged_phase_kernel,
                                            space_to_depth_fold)
     from odtk_tpu.ops.pallas import fused_bn_relu_pool
     # h=128 -> 32 pooled rows = 2 blocks/image of 16: exercises the
@@ -109,8 +114,9 @@ def test_fused_stem_pool_pallas_interpret_matches_twin():
 
     def run(interpret):
         def loss(w):
-            ye, yo = phase_conv(space_to_depth_fold(x), *phase_kernels(w))
-            p = fused_bn_relu_pool(ye, yo, scale, shift,
+            y = merged_phase_conv(space_to_depth_fold(x),
+                                  merged_phase_kernel(w))
+            p = fused_bn_relu_pool(y, scale, shift,
                                    interpret=interpret)
             # nonuniform weighting so routing errors change the value
             k = jnp.arange(p.size, dtype=jnp.float32).reshape(p.shape)
