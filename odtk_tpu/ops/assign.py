@@ -28,7 +28,8 @@ Loss-equivalent, simpler.
 
 import jax.numpy as jnp
 
-from .boxes import box2delta, box2delta_rotated, rotate_boxes
+from .boxes import (box2delta, box2delta_planar, box2delta_rotated,
+                    box2delta_rotated_planar, rotate_boxes)
 from .iou_rotated import rotated_best_match, rotated_best_match_batched
 
 
@@ -63,14 +64,16 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
     (H, W, A) — unless ``flat=True``, which returns the fused-loss
     form: cls/depth [*, H*W, A] (the NHWC head's memory order —
     [B, H, W, A*K] -> [BHW, A*K] is a bitcast; channels are
-    anchor-major) and deltas PLANAR [nb, *, H*W, A]. The [H, W, A, K]
+    anchor-major) and deltas PLANAR [nb, *, H*W, A] (``deltas`` must
+    then arrive planar [nb, *, N], from the box2delta_*planar
+    encoders). The [H, W, A, K]
     form costs ~4 ms/step of physical transposes at 832 px on v5e;
     the earlier interleaved [*, HW, A*nb] delta form left a ~1.25
     ms/step [B,N,nb] relayout copy in front of the loss kernel
     (profiled r3) because box2delta's output is physically planar."""
     lead = best_iou.shape[:-1]
     lo, hi = anchor_ious
-    nb = deltas.shape[-1]
+    nb = deltas.shape[0] if flat else deltas.shape[-1]
     depth = jnp.full_like(best_iou, -1.0)
     depth = jnp.where(best_iou < lo, 0.0, depth)
     depth = jnp.where(best_iou >= hi, best_cls + 1.0, depth)
@@ -89,15 +92,15 @@ def _finalize(best_iou, best_cls, deltas, num_classes, anchor_ious,
         hw = height * width
         if not one_hot_cls:
             cls_target = cls_target.reshape(*lead, hw, num_anchors)
-        # Planar deltas [nb, *lead, HW, A]: box2delta builds the deltas
-        # column by column, so XLA lays the [*, N, nb] result out
-        # N-minor (physically nb contiguous planes). moveaxis to
-        # nb-leading is therefore a free bitcast, while reshaping to
-        # the interleaved [*, HW, A*nb] head order costs a profiled
-        # ~1.25 ms/step relayout copy at 832 px — the fused loss kernel
+        # Planar deltas [nb, *lead, HW, A]: the flat path receives them
+        # ALREADY planar ([nb, *lead, N], from box2delta_planar — the
+        # channels are emitted as whole planes, never channel-minor).
+        # Reshaping to the interleaved [*, HW, A*nb] head order costs a
+        # profiled ~1.25 ms/step relayout copy at 832 px, and even the
+        # nb-minor -> nb-leading moveaxis of box2delta's output was a
+        # 0.54 ms/step 46 GB/s strided relayout — the fused loss kernel
         # re-interleaves in VMEM instead (focal_kernel._loss_fwd_kernel).
-        planar = jnp.moveaxis(deltas, -1, 0).reshape(
-            nb, *lead, hw, num_anchors)
+        planar = deltas.reshape(nb, *lead, hw, num_anchors)
         return (cls_target, planar,
                 depth.reshape(*lead, hw, num_anchors))
     grid = (height, width, num_anchors)
@@ -148,7 +151,8 @@ def snap_to_anchors(targets, size, stride, anchor_table, num_classes,
     first = jnp.min(jnp.where(is_max, cols, m), axis=1)         # [N]
     onehot = (cols == first[:, None]).astype(overlap.dtype)     # [N, M]
     best_cls = onehot @ classes
-    deltas = box2delta(onehot @ boxes, anchors)
+    encode = box2delta_planar if flat else box2delta
+    deltas = encode(onehot @ boxes, anchors)
     return _finalize(best_iou, best_cls, deltas, num_classes,
                      anchor_ious, height, width, num_anchors, one_hot_cls,
                      flat)
@@ -191,7 +195,8 @@ def snap_to_anchors_rotated(targets, size, stride, anchor_table,
     # gathers (same gather-lowering cost story as snap_to_anchors)
     onehot = (best[:, None] == jnp.arange(boxes_rot.shape[0])).astype(
         jnp.float32)
-    deltas = box2delta_rotated(onehot @ boxes_axis, anchors_axis)
+    encode = box2delta_rotated_planar if flat else box2delta_rotated
+    deltas = encode(onehot @ boxes_axis, anchors_axis)
     return _finalize(best_iou, onehot @ classes, deltas, num_classes,
                      anchor_ious, height, width, num_anchors, one_hot_cls,
                      flat)
@@ -234,7 +239,8 @@ def snap_to_anchors_rotated_batched(targets, size, stride, anchor_table,
         anchors_rot, boxes_rot, valid, skip_ratio=anchor_ious[0],
         payload=payload)
     best_boxes, best_cls = best_pay[..., :6], best_pay[..., 6]
-    deltas = box2delta_rotated(best_boxes, anchors_axis)
+    encode = box2delta_rotated_planar if flat else box2delta_rotated
+    deltas = encode(best_boxes, anchors_axis)
     return _finalize(best_iou, best_cls, deltas, num_classes,
                      anchor_ious, height, width, num_anchors, one_hot_cls,
                      flat)

@@ -21,6 +21,36 @@ def box2delta(boxes, anchors):
     return jnp.concatenate([(bctr - actr) / aw, jnp.log(bw / aw)], axis=-1)
 
 
+def box2delta_planar(boxes, anchors):
+    """box2delta with the 4 delta channels stacked on a LEADING axis
+    ([4, ...] instead of [..., 4]) — the loss-native planar layout.
+    Emitting the planes directly lets XLA realize them as whole-block
+    copies; transposing box2delta's channel-minor output after the fact
+    profiled 0.54 ms/step at 46 GB/s (4-wide strided relayout) at b=8
+    @832 on v5e."""
+    return jnp.stack(_delta_planes(boxes, anchors))
+
+
+def box2delta_rotated_planar(boxes, anchors):
+    """box2delta_rotated in the planar layout ([6, ...]); see
+    box2delta_planar."""
+    return jnp.stack(_delta_planes(boxes, anchors)
+                     + [boxes[..., 4], boxes[..., 5]])
+
+
+def _delta_planes(boxes, anchors):
+    # component-wise (no [..., 2] intermediates): each plane is one
+    # fused elementwise chain over [N] columns, so the stack writes
+    # plane-contiguous output without strided re-slicing
+    aw = anchors[..., 2] - anchors[..., 0] + 1
+    ah = anchors[..., 3] - anchors[..., 1] + 1
+    bw = boxes[..., 2] - boxes[..., 0] + 1
+    bh = boxes[..., 3] - boxes[..., 1] + 1
+    dx = (boxes[..., 0] + 0.5 * bw - (anchors[..., 0] + 0.5 * aw)) / aw
+    dy = (boxes[..., 1] + 0.5 * bh - (anchors[..., 1] + 0.5 * ah)) / ah
+    return [dx, dy, jnp.log(bw / aw), jnp.log(bh / ah)]
+
+
 def box2delta_rotated(boxes, anchors):
     """Encode rotated boxes (x1,y1,x2,y2,sin,cos) vs axis anchors. [..., 6].
 
