@@ -95,7 +95,10 @@ def _match_kernel(nact_ref, tgt_ref, anch_ref, iou_ref, slot_ref):
 
         return carry
 
-    jax.lax.fori_loop(0, nact_ref[0, 0], body, 0)
+    # nact arrives as the FULL [B, 1] SMEM array (a (1,1) block would
+    # violate Mosaic's last-two-dims rule — caught on-chip only, the
+    # interpret-mode tests never see it); index the grid's batch row
+    jax.lax.fori_loop(0, nact_ref[pl.program_id(0), 0], body, 0)
 
 
 def rotated_match_pallas(subject_quads, packed_rows, n_act,
@@ -125,7 +128,7 @@ def rotated_match_pallas(subject_quads, packed_rows, n_act,
         _match_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, j: (b, 0),
+            pl.BlockSpec((bsz, 1), lambda b, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, max_det, 9), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
