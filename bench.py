@@ -25,6 +25,43 @@ SIZE = (800, 800)
 WARMUP = 5
 ITERS = 30
 
+# Transient TPU-backend failure signatures (the tunneled axon backend
+# can 500 a remote compile or wedge for minutes after a killed client —
+# see CLAUDE.md). One such exception must not erase a bench leg.
+_TRANSIENT = ('remote_compile', 'HTTP 500', 'UNAVAILABLE', 'DEADLINE',
+              'INTERNAL', 'RESOURCE_EXHAUSTED', 'Socket closed',
+              'failed to connect')
+_RETRY_BUDGET = [float(__import__('os').environ.get(
+    'ODTK_BENCH_RETRY_BUDGET_S', '900'))]   # total sleep across ALL legs
+
+
+def _retry(fn, *args, label='', waits=(60, 240, 420), **kwargs):
+    """Run a bench leg, retrying transient backend failures with
+    backoff (the CLAUDE.md persistent-retry-client protocol: do NOT
+    kill-and-restart the process — each killed client can refresh the
+    server-side wedge; just wait in-process and try again). Non-
+    transient errors and budget exhaustion re-raise so the caller's
+    except-with-error-key still records what happened."""
+    import sys
+    last = None
+    for i, wait in enumerate((0,) + tuple(waits)):
+        if wait:
+            wait = min(wait, _RETRY_BUDGET[0])
+            if wait <= 0:
+                break
+            print(f'bench[{label}]: transient backend error, retrying in '
+                  f'{wait:.0f}s: {str(last)[:160]}', file=sys.stderr,
+                  flush=True)
+            time.sleep(wait)
+            _RETRY_BUDGET[0] -= wait
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not any(p in str(e) for p in _TRANSIENT):
+                raise
+            last = e
+    raise last
+
 
 def measure(fn, *args):
     """Amortized per-call latency of fn(*args) in ms.

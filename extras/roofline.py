@@ -33,11 +33,19 @@ PEAK_TFLOPS = 197.0      # v5e bf16 MXU peak
 PEAK_GBS = 819.0         # v5e HBM bandwidth
 
 
-def make_stager(size):
+def make_stager(size, classes=80, anchors=9, rotated=False):
+    """Stage classifier for a trace of THIS detector family.
+
+    Head channel signatures are derived from classes/anchors/rotated
+    (cls head = classes*A, box head = {4|6}*A) instead of hardcoding the
+    ResNet50FPN@80 values; ops matching nothing land in 'other', whose
+    share is reported so misattribution stays visible."""
     s2, s4 = size // 2, size // 4
     s8, s16, s32 = size // 8, size // 16, size // 32
     s64, s128 = -(-size // 64), -(-size // 128)    # ceil: P6/P7 pad up
     hw = s8 * s8 + s16 * s16 + s32 * s32 + s64 * s64 + s128 * s128
+    cls_ch = classes * anchors
+    box_ch = (6 if rotated else 4) * anchors
 
     def stage(name, ln):
         s = name + ' ' + ln
@@ -49,8 +57,8 @@ def make_stager(size):
             return f'stem({s2})'
         if f'{s4},{s4}' in s:
             return f'layer1({s4})'
-        if f'{s8},{s8},256]' in s or f'{s8},{s8},720' in s \
-                or f'{s8},{s8},36' in s:
+        if f'{s8},{s8},256]' in s or f'{s8},{s8},{cls_ch}' in s \
+                or f'{s8},{s8},{box_ch}' in s:
             return f'p3/heads({s8})'
         if f'{s8},{s8}' in s:
             return f'layer2({s8})'
@@ -130,14 +138,28 @@ def main():
     ap.add_argument('logdir')
     ap.add_argument('--steps', type=int, default=5)
     ap.add_argument('--size', type=int, default=832)
+    ap.add_argument('--classes', type=int, default=80,
+                    help='detector classes (derives cls-head channels)')
+    ap.add_argument('--anchors', type=int, default=9,
+                    help='anchors per cell (9 axis, 27 rotated default)')
+    ap.add_argument('--rotated', action='store_true',
+                    help='6-channel box head (rotated detector)')
     ap.add_argument('--md', action='store_true')
     ap.add_argument('--top', type=int, default=8)
     args = ap.parse_args()
 
     events, device_pids = load_events(args.logdir)
-    st, ops, total = collect(events, device_pids, make_stager(args.size))
+    st, ops, total = collect(events, device_pids,
+                             make_stager(args.size, args.classes,
+                                         args.anchors, args.rotated))
     k = args.steps
     rows = sorted(st.items(), key=lambda kv: -kv[1][0])
+    other_pct = 100 * st['other'][0] / total if total else 0.0
+    if other_pct > 10:
+        import sys
+        print(f"WARNING: {other_pct:.1f}% of device time fell in 'other' "
+              "— check --size/--classes/--anchors match the trace",
+              file=sys.stderr)
 
     tot_b = sum(v[1] for v in st.values())
     tot_f = sum(v[2] for v in st.values())

@@ -58,6 +58,6 @@ class FPN(nn.Module):
 
 
 @register
-def MobileNetV2FPN(dtype=jnp.float32, name=None, mesh=None):
-    del mesh  # 3x3/s2 stem — no fused-stem path to shard
+def MobileNetV2FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+    del mesh, fused_stem  # 3x3/s2 stem — no fused 7x7 stem path here
     return FPN(MobileNet(outputs=(6, 13, 17), dtype=dtype), dtype=dtype, name=name)

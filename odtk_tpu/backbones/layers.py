@@ -170,6 +170,20 @@ class QuantConv(nn.Module):
         if isinstance(padding, int):
             padding = [(padding, padding)] * 2
 
+        if self.s2d_phases:
+            # the merged-phase derivation is specific to a 7x7/stride-2/
+            # pad-3 conv over an even-H, %4-W input (the ResNet stem);
+            # any other config would silently produce wrong outputs
+            assert self.kernel_size == (7, 7), \
+                f's2d_phases requires a 7x7 kernel, got {self.kernel_size}'
+            assert tuple(self.strides) == (2, 2), \
+                f's2d_phases requires stride (2, 2), got {self.strides}'
+            assert list(map(tuple, padding)) == [(3, 3), (3, 3)], \
+                f's2d_phases requires padding [(3,3),(3,3)], got {padding}'
+            assert x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0, \
+                ('s2d_phases requires input H%2==0 and W%4==0, got '
+                 f'{x.shape[1]}x{x.shape[2]}')
+
         if quantized and self.has_variable('quant', 'act_scale'):
             # w8a8: full int8 convolution, int32 accumulation.
             # Measured 2.3x SLOWER than bf16 through XLA's current conv

@@ -8,7 +8,6 @@ layer{1-4}.{i}.conv{j}/bn{j}/downsample.{0,1}) so pretrained torch
 checkpoints map 1:1 through io.torch_import.
 """
 
-import os
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -104,8 +103,10 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     dtype: Any = jnp.float32
-    # ODTK_FUSED_STEM=0 is the A/B escape hatch (read at import time)
-    fused_stem: bool = os.environ.get('ODTK_FUSED_STEM', '1') != '0'
+    # real constructor knob (Model(config={'fused_stem': ...}) / CLI
+    # --no-fused-stem thread it down here); a plain default, never an
+    # env read at class-definition time
+    fused_stem: bool = True
     mesh: Any = None
 
     # FPN channel table hook (odtk/backbones/fpn.py:20-22)
@@ -157,52 +158,58 @@ class ResNet(nn.Module):
 
 
 @register
-def ResNet18FPN(dtype=jnp.float32, name=None, mesh=None):
+def ResNet18FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
     from .fpn import FPN
     return FPN(ResNet(layers=(2, 2, 2, 2), bottleneck=False, dtype=dtype,
-                      mesh=mesh), dtype=dtype, name=name)
+                      mesh=mesh, fused_stem=fused_stem),
+               dtype=dtype, name=name)
 
 
 @register
-def ResNet34FPN(dtype=jnp.float32, name=None, mesh=None):
+def ResNet34FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 6, 3), bottleneck=False, dtype=dtype,
-                      mesh=mesh), dtype=dtype, name=name)
-
-
-@register
-def ResNet50FPN(dtype=jnp.float32, name=None, mesh=None):
-    from .fpn import FPN
-    return FPN(ResNet(layers=(3, 4, 6, 3), dtype=dtype, mesh=mesh),
+                      mesh=mesh, fused_stem=fused_stem),
                dtype=dtype, name=name)
 
 
 @register
-def ResNet101FPN(dtype=jnp.float32, name=None, mesh=None):
+def ResNet50FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
     from .fpn import FPN
-    return FPN(ResNet(layers=(3, 4, 23, 3), dtype=dtype, mesh=mesh),
-               dtype=dtype, name=name)
+    return FPN(ResNet(layers=(3, 4, 6, 3), dtype=dtype, mesh=mesh,
+                      fused_stem=fused_stem), dtype=dtype, name=name)
 
 
 @register
-def ResNet152FPN(dtype=jnp.float32, name=None, mesh=None):
+def ResNet101FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
     from .fpn import FPN
-    return FPN(ResNet(layers=(3, 8, 36, 3), dtype=dtype, mesh=mesh),
-               dtype=dtype, name=name)
+    return FPN(ResNet(layers=(3, 4, 23, 3), dtype=dtype, mesh=mesh,
+                      fused_stem=fused_stem), dtype=dtype, name=name)
 
 
 @register
-def ResNeXt50_32x4dFPN(dtype=jnp.float32, name=None, mesh=None):
+def ResNet152FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+    from .fpn import FPN
+    return FPN(ResNet(layers=(3, 8, 36, 3), dtype=dtype, mesh=mesh,
+                      fused_stem=fused_stem), dtype=dtype, name=name)
+
+
+@register
+def ResNeXt50_32x4dFPN(dtype=jnp.float32, name=None, mesh=None,
+                       fused_stem=True):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 6, 3), groups=32, width_per_group=4,
-                      dtype=dtype, mesh=mesh), dtype=dtype, name=name)
+                      dtype=dtype, mesh=mesh, fused_stem=fused_stem),
+               dtype=dtype, name=name)
 
 
 @register
-def ResNeXt101_32x8dFPN(dtype=jnp.float32, name=None, mesh=None):
+def ResNeXt101_32x8dFPN(dtype=jnp.float32, name=None, mesh=None,
+                        fused_stem=True):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 23, 3), groups=32, width_per_group=8,
-                      dtype=dtype, mesh=mesh), dtype=dtype, name=name)
+                      dtype=dtype, mesh=mesh, fused_stem=fused_stem),
+               dtype=dtype, name=name)
 
 
 class ResNetC4(nn.Module):
@@ -211,20 +218,24 @@ class ResNetC4(nn.Module):
     dtype: Any = jnp.float32
     stride: int = 16
     mesh: Any = None
+    fused_stem: bool = True
     feature_channels = None
 
     @nn.compact
     def __call__(self, x):
         net = ResNet(layers=self.layers, bottleneck=False, outputs=(4,),
-                     dtype=self.dtype, mesh=self.mesh, name='features')
+                     dtype=self.dtype, mesh=self.mesh,
+                     fused_stem=self.fused_stem, name='features')
         return net(x)
 
 
 @register
-def ResNet18C4(dtype=jnp.float32, name=None, mesh=None):
-    return ResNetC4(layers=(2, 2, 2, 2), dtype=dtype, mesh=mesh, name=name)
+def ResNet18C4(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+    return ResNetC4(layers=(2, 2, 2, 2), dtype=dtype, mesh=mesh,
+                    fused_stem=fused_stem, name=name)
 
 
 @register
-def ResNet34C4(dtype=jnp.float32, name=None, mesh=None):
-    return ResNetC4(layers=(3, 4, 6, 3), dtype=dtype, mesh=mesh, name=name)
+def ResNet34C4(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+    return ResNetC4(layers=(3, 4, 6, 3), dtype=dtype, mesh=mesh,
+                    fused_stem=fused_stem, name=name)

@@ -72,6 +72,10 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
         print(f'rounding engine size {tuple(size)} up to stride-aligned '
               f'{aligned} (model stride {model.stride})')
         size = aligned
+    # engines are single-device executables: a train-then-export in one
+    # process would otherwise bake a shard_map over the (stale) training
+    # mesh into the serialized graph
+    model.set_spmd_mesh(None)
     if precision in ('bf16', 'FP16'):
         model.set_dtype(jnp.bfloat16)
     elif precision in ('fp32', 'FP32'):
@@ -198,6 +202,7 @@ def export_cpp_engine(model, size, batch=1, path='model.cppengine',
     if isinstance(size, int):
         size = (size, size)
     size = tuple(-(-s // model.stride) * model.stride for s in size)
+    model.set_spmd_mesh(None)    # never bake a stale training mesh
     if precision in ('bf16', 'FP16'):
         model.set_dtype(jnp.bfloat16)
 

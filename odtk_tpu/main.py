@@ -143,6 +143,7 @@ def parse(args):
     parser_train.add_argument('--profile-dir', metavar='path', type=str,
                               help='capture a jax.profiler device trace of '
                                    'steady-state iterations to this directory')
+    _add_fused_stem_flag(parser_train)
 
     parser_infer = subparsers.add_parser('infer', help='run inference')
     parser_infer.add_argument('model', type=str, help='checkpoint or engine file to run')
@@ -176,6 +177,7 @@ def parse(args):
                               default=None,
                               help='max detections per image (checkpoint '
                                    'inference only)')
+    _add_fused_stem_flag(parser_infer)
 
     parser_export = subparsers.add_parser(
         'export', help='export a model into an AOT TPU engine')
@@ -226,8 +228,20 @@ def parse(args):
     parser_export.add_argument('--detections', metavar='num', type=int,
                                default=None,
                                help='max detections emitted per image')
+    _add_fused_stem_flag(parser_export)
 
     return parser.parse_args(args)
+
+
+def _add_fused_stem_flag(subparser):
+    """--fused-stem / --no-fused-stem: run the 7x7/s2 ResNet stem as the
+    merged space-to-depth phase conv + fused BN/ReLU/pool kernel.
+    A runtime perf knob — checkpoints are identical either way. Default
+    (flag absent) keeps the model's own default (on, or ODTK_FUSED_STEM)."""
+    subparser.add_argument('--fused-stem', action=argparse.BooleanOptionalAction,
+                           default=None, dest='fused_stem',
+                           help='toggle the fused space-to-depth ResNet stem '
+                                '(default: on)')
 
 
 CHECKPOINT_EXTS = ('.pth', '.torch', '.ckpt')
@@ -308,6 +322,9 @@ def run(args, model, state):
 
     if model and getattr(model, 'angles', None) is not None:
         args.rotated_bbox = True
+
+    if model is not None and getattr(args, 'fused_stem', None) is not None:
+        model.set_fused_stem(args.fused_stem)
 
     # compat no-op flags: accepted for reference command-line parity but
     # semantically inert here — say so once instead of silently eating them

@@ -13,6 +13,7 @@ semantics (model.py:64-68) so imported checkpoints behave identically.
 """
 
 import math
+import os
 from functools import partial
 from typing import Any, Sequence
 
@@ -55,10 +56,14 @@ class RetinaNet(nn.Module):
     # >1-device mesh for ops GSPMD can't partition (the Pallas fused
     # stem pool) — threaded to the backbones; see Model.set_spmd_mesh
     spmd_mesh: Any = None
+    # run the 7x7/s2 stem as the merged space-to-depth phase conv +
+    # fused BN/ReLU/pool kernel (ResNet-family backbones only)
+    fused_stem: bool = True
 
     def setup(self):
         self.nets = [backbones_mod.build(b, dtype=self.dtype,
                                          mesh=self.spmd_mesh,
+                                         fused_stem=self.fused_stem,
                                          name=f'backbones_{b}')
                      for b in self.backbone_names]
         normal01 = nn.initializers.normal(stddev=0.01)
@@ -138,6 +143,12 @@ class Model:
         # restores per-level selection, 'fused_top_n' sets the budget
         self.decode_fused = config.get('decode_fused', True)
         self.fused_top_n = config.get('fused_top_n', 2 * self.top_n)
+        # fused space-to-depth stem: a runtime perf knob (identical
+        # params/checkpoints either way). Config/CLI-first; the env var
+        # is a fallback read HERE, at construction time, not at import
+        # (setting it after `import odtk_tpu` works as expected).
+        self.fused_stem = bool(config.get(
+            'fused_stem', os.environ.get('ODTK_FUSED_STEM', '1') != '0'))
 
         self.stride = 128            # padding stride (fpn.py:17)
         self.dtype = dtype
@@ -151,7 +162,8 @@ class Model:
         self.module = RetinaNet(
             backbone_names=tuple(self.backbones), classes=classes,
             num_anchors=self.num_anchors, box_size=self.box_size,
-            rotated=rotated_bbox, dtype=dtype)
+            rotated=rotated_bbox, dtype=dtype,
+            fused_stem=self.fused_stem)
         self._anchors = {}
         self._jitted = {}            # (dtype, mesh key) -> compiled infer fn
         self._loss_mesh = None       # >1-device mesh for the fused focal op
@@ -183,12 +195,20 @@ class Model:
             self._rebuild_module()
         return self
 
+    def set_fused_stem(self, fused_stem):
+        """Toggle the fused space-to-depth stem (runtime perf knob;
+        parameters and checkpoints are identical either way)."""
+        if bool(fused_stem) != self.fused_stem:
+            self.fused_stem = bool(fused_stem)
+            self._rebuild_module()
+        return self
+
     def _rebuild_module(self):
         self.module = RetinaNet(
             backbone_names=tuple(self.backbones), classes=self.classes,
             num_anchors=self.num_anchors, box_size=self.box_size,
             rotated=self.rotated_bbox, dtype=self.dtype,
-            spmd_mesh=self._spmd_mesh)
+            spmd_mesh=self._spmd_mesh, fused_stem=self.fused_stem)
 
     # ------------------------------------------------------------- anchors
     def anchors(self, stride):

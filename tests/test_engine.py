@@ -154,3 +154,25 @@ def test_export_postprocessing_overrides(tmp_path):
     out = eng(np.random.RandomState(0).randn(1, 128, 128, 3)
               .astype(np.float32))
     assert out[0].shape == (1, 25)
+
+
+def test_export_clears_stale_training_mesh(tmp_path):
+    """A train-then-export in one process must not bake the training
+    mesh's shard_map into the serialized single-device graph."""
+    import jax
+    from odtk_tpu.parallel import make_mesh
+
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    mesh = make_mesh(jax.devices())          # 8 virtual CPU devices
+    m.set_spmd_mesh(mesh)                    # simulate post-training state
+    assert m._spmd_mesh is not None
+    path = str(tmp_path / 'm.engine')
+    export_model(m, (128, 128), precision='fp32', path=path,
+                 dynamic_batch_opts=[1, 1, 1])
+    assert m._spmd_mesh is None              # cleared before tracing
+    eng = Engine.load(path)
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(1, 128, 128, 3).astype(np.float32) * 0.1
+    s, b, c = eng(imgs)
+    assert s.shape[0] == 1

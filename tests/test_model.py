@@ -113,3 +113,43 @@ def test_jitted_inference_fn_cached():
     m.set_dtype(jnp.bfloat16)
     assert m.jitted_inference_fn(mesh) is m.jitted_inference_fn(mesh)
     assert len(m._jitted) == 3
+
+
+def test_fused_stem_config_knob():
+    """fused_stem is a real Model/config knob (not an import-time env
+    read): config wins, set_fused_stem rebuilds the module, and the
+    module field reflects it."""
+    from odtk_tpu.model import Model
+
+    m_on = Model(backbones='ResNet18FPN', classes=3)
+    assert m_on.fused_stem and m_on.module.fused_stem
+    m_off = Model(backbones='ResNet18FPN', classes=3,
+                  config={'fused_stem': False})
+    assert not m_off.fused_stem and not m_off.module.fused_stem
+
+    m_on.set_fused_stem(False)
+    assert not m_on.module.fused_stem
+    # params are identical either way: variables initialized under one
+    # mode apply under the other
+    m_off.initialize(rng=0, image_size=(128, 128))
+    import jax.numpy as jnp
+    import numpy as np
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 3),
+                    jnp.float32) * 0.1
+    s_off = m_off.inference_fn(m_off.variables, x)
+    m_off.set_fused_stem(True)
+    s_on = m_off.inference_fn(m_off.variables, x)
+    np.testing.assert_allclose(np.asarray(s_off[0]), np.asarray(s_on[0]),
+                               atol=2e-5)
+
+
+def test_cli_fused_stem_flag_parses():
+    from odtk_tpu.main import parse
+
+    args = parse(['train', 'ckpt.pth', '--annotations', 'a.json',
+                  '--no-fused-stem'])
+    assert args.fused_stem is False
+    args = parse(['infer', 'ckpt.pth', '--fused-stem'])
+    assert args.fused_stem is True
+    args = parse(['export', 'ckpt.pth', 'out.engine'])
+    assert args.fused_stem is None
