@@ -142,7 +142,7 @@ def main():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(1, SIZE[0], SIZE[1], 3), jnp.float32)
 
-    ms = measure(fn, model.variables, images)
+    ms = _retry(measure, fn, model.variables, images, label='b1_e2e')
     result = {
         'metric': 'resnet50fpn_b1_800_e2e_latency',
         'value': round(ms, 3),
@@ -164,7 +164,7 @@ def main():
         qvars, _ = build_quant_variables(model.variables, absmax)
         qvars = jax.device_put(qvars)     # numpy would re-upload per call
         fn8 = jax.jit(model.inference_fn)
-        ms8 = measure(fn8, qvars, images)
+        ms8 = _retry(measure, fn8, qvars, images, label='int8')
         result['int8_latency_ms'] = round(ms8, 3)
         result['int8_vs_baseline'] = round(BASELINE_INT8_MS / ms8, 3)
     except Exception as e:  # noqa: BLE001 — int8 extra must not kill the bench
@@ -175,7 +175,7 @@ def main():
     # included. Reference single-stream rate: 91 FPS (A100 FP16).
     try:
         imgs8 = jnp.asarray(rng.randn(8, SIZE[0], SIZE[1], 3), jnp.float32)
-        ms8b = measure(fn, model.variables, imgs8)
+        ms8b = _retry(measure, fn, model.variables, imgs8, label='serving_b8')
         result['serving_b8_im_s'] = round(8 / ms8b * 1e3, 1)
     except Exception as e:  # noqa: BLE001
         result['serving_error'] = str(e)[:200]
@@ -189,7 +189,7 @@ def main():
             rmodel.initialize(rng=0, image_size=(256, 256))
             rvars = jax.device_put(rmodel.variables)
             rfn = jax.jit(rmodel.inference_fn)
-            msr = measure(rfn, rvars, images)
+            msr = _retry(measure, rfn, rvars, images, label='rotated_b1')
             result['rotated_b1_800_e2e_ms'] = round(msr, 3)
         except Exception as e:  # noqa: BLE001
             result['rotated_infer_error'] = str(e)[:200]
@@ -199,7 +199,7 @@ def main():
     # recorded conditions (b=8 @832, PARITY.md). North star:
     # >=40k img/s on a v5e-256 pod = 156 im/s/chip (BASELINE.md).
     try:
-        result.update(bench_train(model_cls=Model))
+        result.update(_retry(bench_train, model_cls=Model, label='train'))
     except Exception as e:  # noqa: BLE001
         result['train_error'] = str(e)[:200]
 
@@ -208,7 +208,8 @@ def main():
     # number real training sees. On a 1-core host this is loader-bound;
     # the host_wait diagnostic attributes it.
     try:
-        result.update(bench_e2e_train(model_cls=Model))
+        result.update(_retry(bench_e2e_train, model_cls=Model,
+                             label='e2e_train'))
     except Exception as e:  # noqa: BLE001
         result['e2e_train_error'] = str(e)[:200]
 
@@ -217,13 +218,14 @@ def main():
     # Skippable via ODTK_BENCH_ROTATED=0 if the compile cache is cold.
     if os.environ.get('ODTK_BENCH_ROTATED', '1') != '0':
         try:
-            rot = bench_train(model_cls=Model, rotated=True)
+            rot = _retry(bench_train, model_cls=Model, rotated=True,
+                         label='rotated_train')
             result['rotated_train_im_s_per_chip'] = rot['train_im_s_per_chip']
             result['rotated_train_step_ms'] = rot['train_step_ms']
             # dense-small-target variant: same compiled step, data that
             # stresses the chunked polygon assignment loop
-            rot_s = bench_train(model_cls=Model, rotated=True,
-                                small_targets=True)
+            rot_s = _retry(bench_train, model_cls=Model, rotated=True,
+                           small_targets=True, label='rotated_small24')
             result['rotated_small24_step_ms'] = rot_s['train_step_ms']
         except Exception as e:  # noqa: BLE001
             result['rotated_train_error'] = str(e)[:200]

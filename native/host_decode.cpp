@@ -143,8 +143,16 @@ int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
         * dw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
+  // Truncated streams don't error_exit: libjpeg fakes an EOI, pads the
+  // tail gray, and only counts a corrupt-data WARNING. Treat that as a
+  // failed decode (PIL's strictness) rather than silently training on
+  // a half-gray image.
+  long num_warnings = jerr.pub.num_warnings;
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  if (num_warnings > 0) {
+    return 2;
+  }
 
   int th = static_cast<int>(r * sh), tw = static_cast<int>(r * sw);
   th = std::max(1, std::min(th, out_h_pad));

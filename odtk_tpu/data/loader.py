@@ -93,6 +93,7 @@ class DataIterator:
         self.seed = seed
         self.ids = self.dataset.ids
         self.coco = self.dataset.coco
+        self._warned_images = set()   # warn once per unreadable file
 
     def __repr__(self):
         return '\n'.join([
@@ -172,8 +173,40 @@ class DataIterator:
             fast = self._collate_eval_native(batch_ids)
             if fast is not None:
                 return fast
-        samples = [self.dataset[i] for i in batch_ids]
+        samples = [self._load_sample_safe(i) for i in batch_ids]
         return self._collate(samples)
+
+    def _load_sample_safe(self, index, max_tries=8):
+        """Load dataset[index], skipping unreadable images with a
+        warning instead of killing the epoch (a corrupt/truncated JPEG
+        mid-epoch must not surface as a dead worker thread — the
+        failure class DALI's decoder owns in the reference,
+        odtk/dali.py:33-36). The sample is replaced by the next
+        readable image so the batch keeps its static shape; inference
+        dedups by image id downstream, training tolerates the
+        substitution like any resampled example."""
+        import sys
+        last = None
+        for k in range(max_tries):
+            i = (index + k) % len(self.dataset)
+            try:
+                return self.dataset[i]
+            except Exception as e:  # noqa: BLE001 — warned + bounded below
+                last = e
+                name = ''
+                try:
+                    name = self.dataset.coco.imgs[self.dataset.ids[i]].get(
+                        'file_name', '')
+                except Exception:  # noqa: BLE001 — best-effort label
+                    pass
+                if name not in self._warned_images:
+                    self._warned_images.add(name)
+                    print(f'WARNING: skipping unreadable image {name!r} '
+                          f'({type(e).__name__}: {str(e)[:120]})',
+                          file=sys.stderr, flush=True)
+        raise RuntimeError(
+            f'{max_tries} consecutive images failed to load starting at '
+            f'index {index}') from last
 
     def _collate_eval_native(self, batch_ids):
         """Zero-copy eval batching: JPEGs decode straight into rows of

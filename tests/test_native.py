@@ -79,3 +79,66 @@ def test_rot90_same_canvas_matches_pil():
         want = np.asarray(Image.fromarray(arr).rotate(90 * k), np.float32)
         # PIL rotate fills border black; compare the overlapping region
         np.testing.assert_allclose(got, want, atol=1.0)
+
+
+def test_decode_corrupt_jpeg_returns_none():
+    """Truncated/garbage JPEG bytes must fail cleanly (the libjpeg
+    setjmp error path), never crash or return a half-written buffer as
+    success."""
+    data, _ = _jpeg_bytes()
+    assert native.decode_jpeg(data[:len(data) // 2], 48, 100) is None
+    assert native.decode_jpeg(b'\xff\xd8\xff\xe0garbage', 48, 100) is None
+    assert native.decode_jpeg(b'', 48, 100) is None
+
+
+def test_loader_skips_corrupt_jpeg_with_warning(tmp_path, capfd):
+    """A corrupt image mid-epoch is skipped with a warning and replaced
+    by the next readable one — the epoch completes with full-shape
+    batches instead of a dead worker thread (DALI owns this failure
+    class in the reference, odtk/dali.py:33-36)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import make_dataset
+    from odtk_tpu.data.loader import DataIterator
+
+    img_dir, anns = make_dataset(str(tmp_path), n_images=8,
+                                 size=(160, 200), max_boxes=2, fmt='jpg')
+    # truncate one file so it opens (header intact) but fails to decode,
+    # and zero another so it fails at open
+    files = sorted(f for f in os.listdir(img_dir) if f.endswith('.jpg'))
+    bad1 = os.path.join(img_dir, files[1])
+    blob = open(bad1, 'rb').read()
+    open(bad1, 'wb').write(blob[:len(blob) // 3])
+    bad2 = os.path.join(img_dir, files[4])
+    open(bad2, 'wb').write(b'not a jpeg')
+
+    for training in (True, False):
+        it = DataIterator(img_dir, resize=128, max_size=160, batch_size=4,
+                          stride=32, world=1, annotations=anns,
+                          training=training)
+        batches = list(it)
+        assert len(batches) == 2
+        for b in batches:
+            assert b[0].shape[0] == 4
+            assert np.isfinite(b[0]).all()
+    err = capfd.readouterr().err
+    assert 'skipping unreadable image' in err
+
+
+def test_loader_raises_when_everything_corrupt(tmp_path):
+    """If every image is unreadable the loader must fail loudly (after
+    the bounded retry), not loop forever."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import make_dataset
+    from odtk_tpu.data.loader import DataIterator
+
+    img_dir, anns = make_dataset(str(tmp_path), n_images=4,
+                                 size=(160, 200), max_boxes=2, fmt='jpg')
+    for f in os.listdir(img_dir):
+        if f.endswith('.jpg'):
+            open(os.path.join(img_dir, f), 'wb').write(b'junk')
+    it = DataIterator(img_dir, resize=128, max_size=160, batch_size=4,
+                      stride=32, world=1, annotations=anns, training=True)
+    with pytest.raises(RuntimeError, match='failed to load'):
+        list(it)
