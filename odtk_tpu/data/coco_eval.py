@@ -141,9 +141,12 @@ class CocoEvaluator:
         T = len(IOU_THRS)
         dts = dts[:max_det]
         n_d, n_g = len(dts), len(gts)
+        # pycocotools boundary semantics: ignore iff a < lo or a > hi
+        # (inclusive at BOTH ends — an area of exactly 32^2 counts as
+        # both small and medium)
         gt_ig = np.array([
-            1 if (g.get('iscrowd', 0) or not
-                  (area_rng[0] <= self._gt_area(g) < area_rng[1])) else 0
+            1 if (g.get('iscrowd', 0) or self._gt_area(g) < area_rng[0]
+                  or self._gt_area(g) > area_rng[1]) else 0
             for g in gts], np.int32)
         order = np.argsort(gt_ig, kind='stable')   # ignored last
         gts_s = [gts[i] for i in order]
@@ -171,7 +174,8 @@ class CocoEvaluator:
                 gtm[ti, m] = di + 1
         # unmatched dts outside the area range are ignored
         dt_out = np.array([
-            0 if area_rng[0] <= self._dt_area(d) < area_rng[1] else 1
+            1 if (self._dt_area(d) < area_rng[0]
+                  or self._dt_area(d) > area_rng[1]) else 0
             for d in dts], np.int32)
         dt_ig = np.logical_or(dt_ig, (dtm == 0) & dt_out[None, :])
         n_ok_gt = int((gt_ig == 0).sum())
@@ -185,6 +189,12 @@ class CocoEvaluator:
         return float(b[2] * b[3])
 
     def _dt_area(self, d):
+        # segm eval measures the detection by its mask/polygon area
+        # (pycocotools: d['area'] = maskUtils.area(d['segmentation']));
+        # bbox eval by w*h
+        if self.iou_type == 'segm' and d.get('segmentation'):
+            p = np.asarray(d['segmentation'][0], np.float64).reshape(-1, 2)
+            return float(_poly_area(p))
         b = d['bbox']
         return float(b[2] * b[3])
 
