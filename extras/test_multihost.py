@@ -67,9 +67,57 @@ def worker(idx):
     assert sorted(np.asarray(gathered).reshape(-1).tolist()) == [0, 1]
     print(f'[proc {rank}] step OK cls_loss={cl:.4f} gather OK', flush=True)
 
+    # ---- eval leg: the real infer() path with per-host dataset
+    # sharding, all_gather_host result gathering, and master-side
+    # image-id dedup + COCO eval (reference: odtk/infer.py:98-102).
+    import json
+    import tempfile
+    from odtk_tpu.infer import infer as run_infer
+
+    img_dir = os.environ['ODTK_SMOKE_IMAGES']
+    anns = os.environ['ODTK_SMOKE_ANNS']
+    det_file = os.path.join(tempfile.gettempdir(),
+                            f'odtk_multihost_dets_{PORT}.json')
+    # tiny threshold: a fresh π=0.01-prior model scores everything
+    # ~0.01, so detections survive and the dedup path has real work
+    emodel = Model(backbones='ResNet18FPN', classes=3,
+                   config={'threshold': 1e-6})
+    emodel.initialize(rng=0, image_size=(128, 128))
+    stats = run_infer(emodel, img_dir, det_file, resize=128, max_size=160,
+                      batch_size=4, annotations=anns, verbose=(rank == 0))
+    if rank == 0:
+        assert stats is not None and len(stats) == 12, stats
+        assert np.all(np.asarray(stats) >= -1) and np.isfinite(stats).all()
+        with open(det_file) as f:
+            dets = json.load(f)['annotations']
+        with open(anns) as f:
+            n_images = len(json.load(f)['images'])
+        covered = {d['image_id'] for d in dets}
+        # every image evaluated exactly once across the two hosts:
+        # dedup must collapse the wraparound-padded duplicates, and the
+        # gather must deliver BOTH hosts' shards to the master
+        assert len(covered) == n_images, (len(covered), n_images)
+        per_img = {}
+        for d in dets:
+            per_img[d['image_id']] = per_img.get(d['image_id'], 0) + 1
+        assert max(per_img.values()) <= emodel.detections * 3, per_img
+        print(f'[proc 0] eval OK: {len(covered)} images, '
+              f'AP={stats[0]:.3f}', flush=True)
+    else:
+        assert stats == 0                      # non-master returns early
+        print(f'[proc {rank}] eval leg OK (non-master)', flush=True)
+
 
 def main():
-    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    import tempfile
+    root = tempfile.mkdtemp(prefix='odtk_multihost_')
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'tests'))
+    from synth import make_dataset
+    img_dir, anns = make_dataset(root, n_images=8, size=(160, 200),
+                                 max_boxes=3, fmt='jpg')
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               ODTK_SMOKE_IMAGES=img_dir, ODTK_SMOKE_ANNS=anns)
     procs = [subprocess.Popen(
         [sys.executable, __file__, 'worker', str(i)], env=env)
         for i in range(NUM_PROCS)]

@@ -16,7 +16,7 @@ import numpy as np
 from .data import DataIterator, RotatedDataIterator, CocoEvaluator
 from .parallel import make_mesh_for_batch, batch_sharding, \
     replicated_sharding, shard_batch, world_info, all_gather_host, \
-    host_local_batch_size
+    host_local_batch_size, host_local_array
 from .utils import Profiler, rotate_box
 
 
@@ -83,7 +83,11 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
         if backend == 'jax':
             images = shard_batch(mesh, data)
             scores, boxes, classes = infer_fn(variables, images)
-            scores, boxes, classes = jax.device_get((scores, boxes, classes))
+            # multi-host outputs span non-addressable devices; fetch
+            # this host's rows only (all_gather_host merges below)
+            scores, boxes, classes = (host_local_array(scores),
+                                      host_local_array(boxes),
+                                      host_local_array(classes))
         else:
             scores, boxes, classes = model(data)
         profiler.stop('fw')

@@ -8,10 +8,11 @@ the same mesh over DCN via jax.distributed.
 """
 
 from .mesh import (make_mesh, make_mesh_for_batch, batch_sharding,
-                   replicated_sharding, shard_batch, host_local_batch_size)
+                   replicated_sharding, shard_batch, host_local_batch_size,
+                   host_local_array)
 from .dist import init_distributed, world_info, all_gather_host
 
 __all__ = ['make_mesh', 'make_mesh_for_batch', 'batch_sharding',
            'replicated_sharding',
-           'shard_batch', 'host_local_batch_size', 'init_distributed',
-           'world_info', 'all_gather_host']
+           'shard_batch', 'host_local_batch_size', 'host_local_array',
+           'init_distributed', 'world_info', 'all_gather_host']

@@ -71,6 +71,22 @@ def shard_batch(mesh, *arrays, axis_name='data'):
     return out if len(out) > 1 else out[0]
 
 
+def host_local_array(x):
+    """This host's rows of a batch-sharded global array, as numpy.
+
+    Multi-host jit outputs span non-addressable devices, so np.asarray/
+    device_get raise; each host fetches its addressable shards (in
+    batch order — they correspond to the rows this host fed via
+    shard_batch) and all_gather_host reassembles the global result
+    (odtk/infer.py:98-102 gathers the same way over gloo). Single-host
+    arrays pass straight through."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def host_local_batch_size(global_batch):
     """Per-host batch; errors unless evenly divisible (main.py:170-171).
 
