@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""End-to-end synthetic accuracy validation (the train-to-AP oracle).
+
+Runs the full CLI surface against a generated COCO-style dataset on
+whatever backend is active (designed for the real TPU): trains
+ResNet18FPN from scratch, evaluates the checkpoint, the exported bf16
+engine, INT8 engines calibrated with absmax AND with a percentile
+clip, then fine-tunes a rotated model from the axis checkpoint and
+evaluates polygon-IoU AP. Writes one JSON artifact with every AP.
+
+This is the de-facto oracle the reference uses for its accuracy
+numbers (odtk/infer.py:161-173 → pycocotools), scaled to an
+environment without COCO: solid-rectangle detection is learnable in
+~1600 iters, so regressions in the train graph, the export path, or
+the calibrators show up as AP drops (known-good: axis ~0.95, rotated
+~0.82 from rounds 2-3).
+
+Usage: python extras/validate_synthetic.py [--out VALIDATION.json]
+           [--iters 1600] [--workdir DIR] [--quick]
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STAT_NAMES = ['ap', 'ap50', 'ap75', 'ap_small', 'ap_medium', 'ap_large',
+              'ar1', 'ar10', 'ar100', 'ar_small', 'ar_medium', 'ar_large']
+
+
+def run_cli(args, label):
+    cmd = [sys.executable, '-m', 'odtk_tpu.main'] + [str(a) for a in args]
+    print(f'==> [{label}] odtk-tpu ' + ' '.join(str(a) for a in args),
+          flush=True)
+    env = dict(os.environ,
+               ODTK_CACHE_DIR=os.path.join(ROOT, '.jax_cache'))
+    t0 = time.time()
+    p = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True,
+                       text=True)
+    sys.stdout.write(p.stdout[-4000:])
+    if p.returncode:
+        sys.stderr.write(p.stderr[-4000:])
+        raise RuntimeError(f'{label} failed rc={p.returncode}')
+    print(f'<== [{label}] {time.time() - t0:.0f}s', flush=True)
+    return p.stdout
+
+
+def parse_stats(stdout):
+    """The 12 verbose evaluator lines ' AP@[.50:.95]   = 0.955' etc."""
+    vals = re.findall(r'^\s+A[PR][ @].*=\s*([-\d.]+)\s*$', stdout, re.M)
+    if len(vals) < 12:
+        return None
+    return {k: float(v) for k, v in zip(STAT_NAMES, vals[-12:])}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default=os.path.join(ROOT, 'VALIDATION.json'))
+    ap.add_argument('--iters', type=int, default=1600)
+    ap.add_argument('--rotated-iters', type=int, default=1600)
+    ap.add_argument('--workdir', default=None)
+    ap.add_argument('--quick', action='store_true',
+                    help='50 iters, tiny images: plumbing check only')
+    args = ap.parse_args()
+
+    import tempfile
+    work = args.workdir or tempfile.mkdtemp(prefix='odtk_validate_')
+    os.makedirs(work, exist_ok=True)
+    sys.path.insert(0, os.path.join(ROOT, 'tests'))
+    from synth import make_dataset
+
+    if args.quick:
+        args.iters, args.rotated_iters = 50, 50
+        n_im, size, res, mx, esize = 8, (160, 200), 128, 256, 256
+    else:
+        n_im, size, res, mx, esize = 32, (320, 400), 320, 448, 448
+    img, ann = make_dataset(work, n_images=n_im, size=size, max_boxes=3,
+                            fmt='jpg', seed=11)
+    rimg, rann = make_dataset(os.path.join(work, 'rot'), n_images=n_im,
+                              size=size, max_boxes=3, rotated=True,
+                              fmt='jpg', seed=12)
+
+    out = {'recipe': {'backbone': 'ResNet18FPN', 'iters': args.iters,
+                      'lr': 0.005, 'warmup': 300, 'batch': 8,
+                      'resize': res, 'images': n_im,
+                      'rotated_iters': args.rotated_iters},
+           'workdir': work}
+    t_all = time.time()
+    common = ['--classes', 3, '--batch', 8, '--resize', res,
+              '--max-size', mx, '--jitter', res, res,
+              '--lr', 0.005, '--warmup', 300, '--milestones',
+              '--val-iters', 0, '--override', '--max-det', 32]
+
+    # 1. axis training from scratch
+    ckpt = os.path.join(work, 'axis.ckpt')
+    run_cli(['train', ckpt, '--backbone', 'ResNet18FPN',
+             '--images', img, '--annotations', ann,
+             '--iters', args.iters] + common, 'train-axis')
+
+    # 2. checkpoint eval
+    s = run_cli(['infer', ckpt, '--images', img, '--annotations', ann,
+                 '--batch', 8, '--resize', res, '--max-size', mx],
+                'eval-ckpt')
+    out['axis_ckpt'] = parse_stats(s)
+
+    # 3. bf16 engine export + eval (fixed-size letterbox path)
+    eng = os.path.join(work, 'axis.engine')
+    run_cli(['export', ckpt, eng, '--size', esize,
+             '--dynamic-batch-opts', 1, 8, 8], 'export-bf16')
+    s = run_cli(['infer', eng, '--images', img, '--annotations', ann,
+                 '--batch', 8], 'eval-engine')
+    out['axis_engine'] = parse_stats(s)
+
+    # 4. INT8 absmax vs percentile calibration (csrc/calibrator.h
+    #    entropy-grade comparison point: two engines, two APs)
+    for tag, extra in (('int8_absmax', []),
+                       ('int8_p999', ['--calibration-percentile', 99.9])):
+        eng8 = os.path.join(work, f'{tag}.engine')
+        run_cli(['export', ckpt, eng8, '--size', esize, '--int8',
+                 '--calibration-images', img, '--calibration-batches', 4,
+                 '--dynamic-batch-opts', 1, 8, 8] + extra,
+                f'export-{tag}')
+        s = run_cli(['infer', eng8, '--images', img, '--annotations', ann,
+                     '--batch', 8], f'eval-{tag}')
+        out[tag] = parse_stats(s)
+
+    # 5. rotated fine-tune from the axis checkpoint (the reference's
+    #    rotated recipe: TRAINING.md "--fine-tune" + --rotated-bbox)
+    rckpt = os.path.join(work, 'rotated.ckpt')
+    run_cli(['train', rckpt, '--backbone', 'ResNet18FPN',
+             '--images', rimg, '--annotations', rann, '--rotated-bbox',
+             '--fine-tune', ckpt, '--iters', args.rotated_iters] + common,
+            'train-rotated')
+    s = run_cli(['infer', rckpt, '--images', rimg, '--annotations', rann,
+                 '--rotated-bbox', '--batch', 8, '--resize', res,
+                 '--max-size', mx], 'eval-rotated')
+    out['rotated_ckpt'] = parse_stats(s)
+
+    out['total_seconds'] = round(time.time() - t_all, 1)
+    with open(args.out, 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: (v.get('ap') if isinstance(v, dict) else v)
+                      for k, v in out.items() if k != 'recipe'}))
+    print('wrote', args.out)
+
+
+if __name__ == '__main__':
+    main()

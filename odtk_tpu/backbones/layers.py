@@ -59,43 +59,58 @@ class FixedBatchNorm(nn.Module):
 
 
 def space_to_depth_fold(x):
-    """[B, H, W, C] -> col-pair-folded 2x2 space-to-depth
-    [B, H/2, W/4, 8C] (channel order (row-phase, col-phase, c), with a
-    further column-pair fold (col-phase', ...) merged in — the input the
-    stem phase convs consume). One real transpose; the column-pair fold
-    is a free row-major view."""
+    """[B, H, W, C] -> 2x2(x2) space-to-depth [B, H/2, W/4, 8C],
+    channel order (row-phase fi | col-pair j2, col-phase fj, c).
+
+    Row-phase-MAJOR on purpose: each half is a sublane-strided row
+    slice (H is an untiled dim on TPU, so the slice is a near-BW DMA)
+    followed by a FREE row-major (W, C) -> (W/4, 4C) lane regroup and
+    one lane concat. The earlier (j2, fi, fj, c) interleaved order was
+    a genuine 6-dim transpose that XLA lowered at ~49 GB/s
+    (~2 ms/step at b=8 @832)."""
     b, h, w, c = x.shape
-    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
-        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-    return x2.reshape(b, h // 2, w // 4, 8 * c)
+    x0 = x[:, 0::2].reshape(b, h // 2, w // 4, 4 * c)
+    x1 = x[:, 1::2].reshape(b, h // 2, w // 4, 4 * c)
+    return jnp.concatenate([x0, x1], axis=-1)
 
 
-def merged_phase_kernel(kernel):
+def merged_phase_kernel(kernel, dtype=None):
     """[7, 7, Cin, O] stride-2 kernel -> km [4, 3, 8Cin, 2O]: ONE
-    stride-1 kernel over the space-to-depth input whose output channels
-    pack the even-column result in [..., :O] and the odd-column result
-    in [..., O:] (i.e. the stride-2 conv's columns de-interleaved,
-    lane-packed — full 128-wide MXU output tiles for O=64, where two
-    separate 64-channel phase convs ran at half lane utilization).
+    stride-1 kernel over the space-to-depth-folded input whose output
+    channels pack the even-column result in [..., :O] and the odd-
+    column result in [..., O:] (the stride-2 conv's columns
+    de-interleaved, lane-packed — full 128-wide MXU output tiles for
+    O=64, where two separate 64-channel phase convs ran at half lane
+    utilization).
 
-    Derivation: out[i,j] = sum_{di,dj} w[di,dj] x[2i+di-3, 2j+dj-3];
-    writing input rows as (pair p, phase f): di = 2dp + f - 1, so the
-    (1,0)-padded 8x8 kernel reshaped [4,2,4,2,...] scatters w onto
-    (dp, f) taps; folding output-column phases splits the dq axis into
-    even taps (dq -> (du, fq), a kw=2 kernel zero-extended to kw=3 at
-    the tail) and odd taps (the same with the dq axis padded by one
-    zero tap on each side). Pure pad/reshape/concat ops — autodiff maps
-    the merged-conv weight gradient back to the [7,7,Cin,O] parameter.
+    Tap algebra (x4 = space_to_depth_fold(x), channel
+    ch = fi*4Cin + j2*2Cin + fj*Cin + c):
+      rows: x row 2i+di-3 = 2(i+dI-2)+fi  =>  di = 2*dI + fi - 1
+      cols: x col 4q+2fo+dj-3 = 4(q+dv-1)+2*j2+fj
+                              =>  dj = 4*dv + 2*j2 + fj - 1 - 2*fo
+    so each (di, dj, fo) tap of the 7x7 kernel lands at exactly one
+    (dI, dv, ch-block, fo*O) slot of the merged kernel. Built by 98
+    static block-assignments — pure indexing, so autodiff maps the
+    merged weight gradient back to the [7,7,Cin,O] parameter.
     Validated tap-for-tap against lax.conv (tests/test_backbones.py)."""
     cin, o = kernel.shape[2], kernel.shape[3]
-    w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-    k4 = w8.reshape(4, 2, 4, 2, cin, o).transpose(0, 2, 1, 3, 4, 5)
-    k4 = k4.reshape(4, 4, 4 * cin, o)
-    ke = k4.reshape(4, 2, 8 * cin, o)
-    ke = jnp.pad(ke, ((0, 0), (0, 1), (0, 0), (0, 0)))
-    ko = jnp.pad(k4, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    ko = ko.reshape(4, 3, 8 * cin, o)
-    return jnp.concatenate([ke, ko], axis=3)
+    if dtype is None:
+        dtype = kernel.dtype
+    km = jnp.zeros((4, 3, 8 * cin, 2 * o), dtype)
+    for di in range(7):
+        fi = (di + 1) % 2
+        d_i = (di + 1 - fi) // 2
+        for dj in range(7):
+            for fo in range(2):
+                t = dj + 1 + 2 * fo
+                dv, rem = divmod(t, 4)
+                j2, fj = divmod(rem, 2)
+                if not 0 <= dv <= 2:
+                    continue
+                ch = (fi * 4 + j2 * 2 + fj) * cin
+                km = km.at[d_i, dv, ch:ch + cin,
+                           fo * o:(fo + 1) * o].set(kernel[di, dj])
+    return km
 
 
 def merged_phase_conv(x4, km, feature_group_count=1,
@@ -139,15 +154,15 @@ class QuantConv(nn.Module):
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
     # s2d_phases: TPU stem mode for the 7x7/s2 conv — run as ONE
-    # stride-1 merged phase conv over the space-to-depth-folded input,
-    # returning [B, H/2, W/4, 2O] with output columns de-interleaved
-    # into lane-packed channels [even O | odd O] (consumed by the fused
+    # stride-(2,4) merged phase conv on the raw image, returning
+    # [B, H/2, W/4, 2O] with output columns de-interleaved into
+    # lane-packed channels [even O | odd O] (consumed by the fused
     # BN+ReLU+pool kernel in exactly this layout — no relayout between
-    # conv and pool). Parameter shape/name unchanged ([7,7,Cin,O]
-    # ``kernel``), so checkpoints and torch import are unaffected. The
-    # direct form pays a 3-channel MXU contraction, a [B,H/2,W/2,O]
-    # relayout, and misaligned 7x7x3 weight-gradient fixups — together
-    # ~3 ms/step at b=8 @832 on v5e.
+    # conv and pool, and no input fold). Parameter shape/name unchanged
+    # ([7,7,Cin,O] ``kernel``), so checkpoints and torch import are
+    # unaffected. The plain form pays a 3-channel MXU contraction, a
+    # [B,H/2,W/2,O] relayout, and misaligned 7x7x3 weight-gradient
+    # fixups — together ~3 ms/step at b=8 @832 on v5e.
     s2d_phases: bool = False
 
     @nn.compact
@@ -223,7 +238,7 @@ class QuantConv(nn.Module):
                       * w_scale).astype(self.dtype)
 
         if self.s2d_phases:
-            km = merged_phase_kernel(kernel.astype(self.dtype))
+            km = merged_phase_kernel(kernel, dtype=self.dtype)
             y = merged_phase_conv(space_to_depth_fold(x.astype(self.dtype)),
                                   km, self.feature_group_count)
             if bias is None:

@@ -88,9 +88,10 @@ class ResNet(nn.Module):
 
     x: [B, H, W, 3] NHWC. Levels: C2=stride 4 ... C5=stride 32.
 
-    fused_stem (default): conv1 runs as ONE stride-1 space-to-depth
-    merged phase conv (output columns de-interleaved into lane-packed
-    channels) and BN+ReLU+maxpool as one fused op consuming that layout
+    fused_stem (default): conv1 runs as ONE stride-(2,4) merged phase
+    conv on the raw image (output columns de-interleaved into
+    lane-packed channels, 189-deep im2col contraction — no input fold)
+    and BN+ReLU+maxpool as one fused op consuming that layout
     directly (Pallas on TPU, jnp twin elsewhere) — the [B, H/2, W/2,
     64] stem activation never hits HBM and no relayout runs between
     conv and pool. Same parameters/checkpoints either way; ~5 ms/step at b=8

@@ -420,6 +420,21 @@ def main(args=None):
         import jax
         jax.config.update('jax_platforms', platform)
 
+    # persistent compile cache: on remote-compile TPU backends a cold
+    # train-step compile costs minutes; cache it across CLI invocations
+    # (ODTK_CACHE_DIR overrides, e.g. to share a repo-local cache)
+    cache_dir = os.environ.get(
+        'ODTK_CACHE_DIR', os.path.expanduser('~/.cache/odtk_tpu/jax'))
+    if cache_dir and cache_dir != '0':
+        import jax
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update('jax_compilation_cache_dir', cache_dir)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              1.0)
+        except Exception:     # noqa: BLE001 — cache is best-effort
+            pass
+
     args = parse(args or sys.argv[1:])
 
     from .parallel import init_distributed

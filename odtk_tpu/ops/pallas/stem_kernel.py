@@ -28,11 +28,18 @@ rows shifted down by one pooled row. The one cross-block dependency
 block's first rows and pooled-grad row) is pre-gathered OUTSIDE the
 kernel as strided row slices fed through 1-block side inputs.
 
-The backward kernel recomputes the window candidates (cheaper than
-storing them: the op is bandwidth-bound), routes each pooled cotangent
-to its window's first-max candidate in the forward's reduction order,
-and folds the BN scale and ReLU mask into the same pass, emitting
-d(conv output) in the merged layout the conv backward consumes.
+The forward also emits the window ARGMAX as an int8 plane (candidate
+index 0..8 in the forward's reduction order, sentinel 9 when the
+post-ReLU max is 0 — i.e. when the ReLU kills every gradient in the
+window). The backward is then pure index routing: it reads ONLY the
+idx plane and the pooled cotangent (no conv output, no BN/ReLU
+recompute — a routed candidate's activation equals the window max > 0,
+so the ReLU mask is implied by the sentinel), scatters each cotangent
+to its candidate's merged-layout position, and scales by the BN
+weight. That drops the backward from ~90 VPU ops/element over the
+conv-shaped tensor (9 candidate constructions + first-max prefix
+routing, measured 1.51 ms/step at b=8 @832) to ~9 compare-selects over
+the HALF-sized pooled tensor plus data movement (~0.3 ms HBM floor).
 
 jnp twin (`_twin`) keeps CPU/debug paths exact; tests pin the kernel
 to it in interpret mode.
@@ -75,13 +82,6 @@ def _unshift_w(a):
     return jnp.where(q >= a.shape[1] - 1, 0.0, rolled)
 
 
-def _colmax(z, c):
-    """Per conv row, max over a pool window's three column candidates:
-    out[:, q] = max(e[q], o[q], o[q-1]). z: [R, W, 2c] -> [R, W, c]."""
-    e, o = z[..., :c], z[..., c:]
-    return jnp.maximum(jnp.maximum(_shift_w(z)[..., c:], e), o)
-
-
 def _phases(a):
     """[2R, W, c] conv rows -> (even rows 2p, odd rows 2p+1), each
     [R, W, c]. Leading-dim reshape + index: free (untiled dims)."""
@@ -89,7 +89,16 @@ def _phases(a):
     return a4[:, 0], a4[:, 1]
 
 
+def _colmax(z, c):
+    """Per conv row, max over a pool window's three column candidates:
+    out[:, q] = max(e[q], o[q], o[q-1]). z: [R, W, 2c] -> [R, W, c]."""
+    e, o = z[..., :c], z[..., c:]
+    return jnp.maximum(jnp.maximum(_shift_w(z)[..., c:], e), o)
+
+
 def _fwd_kernel(y_ref, p_ref, sc_ref, sh_ref, out_ref, *, c, bpi):
+    """Primal-only forward (no argmax plane): what inference graphs
+    trace — the idx-emitting variant below runs only under autodiff."""
     g = pl.program_id(0)
     sc = sc_ref[:]
     sh = sh_ref[:]
@@ -105,75 +114,84 @@ def _fwd_kernel(y_ref, p_ref, sc_ref, sh_ref, out_ref, *, c, bpi):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(y_ref, p_ref, n_ref, gn_ref, g_ref, sc_ref, sh_ref,
-                dy_ref, *, c, bpi):
+def _fwd_idx_kernel(y_ref, p_ref, sc_ref, sh_ref, out_ref, idx_ref,
+                    *, c, bpi):
     g = pl.program_id(0)
     sc = sc_ref[:]
     sh = sh_ref[:]
     z = _bn_relu(y_ref[:], sc, sh)                  # [2RP, W, 2c]
-    first = jax.lax.rem(g, bpi) == 0
+    first = jax.lax.rem(g, bpi) == 0                # image top: pad row
     zp = jnp.where(first, _NEG, _bn_relu(p_ref[:], sc, sh))
 
+    # hierarchical first-max (half the VPU ops of a 9-way scan, same
+    # routing decisions): candidate order (k0..k8) is row-major —
+    # row groups (prev 2p-1, even 2p, odd 2p+1) each with cols
+    # (v, e, o) — so "first row group achieving the window max, then
+    # first col achieving it within that group" IS the global
+    # first-max. Per conv row: col max + col idx; then a 3-way row
+    # pick on the pooled shape.
     e, o = z[..., :c], z[..., c:]
     v = _shift_w(z)[..., c:]                        # col 2q-1 candidate
-    e0, e1 = _phases(e)
-    o0, o1 = _phases(o)
-    v0, v1 = _phases(v)
+    mrow = jnp.maximum(jnp.maximum(v, e), o)        # [2RP, W, c]
+    cidx = jnp.where(v >= mrow, 0,
+                     jnp.where(e >= mrow, 1, 2))
     ep, op = zp[..., :c], zp[..., c:]
     vp = _shift_w(zp)[..., c:]
+    mp = jnp.maximum(jnp.maximum(vp, ep), op)       # prev conv row 2p-1
+    cp = jnp.where(vp >= mp, 0, jnp.where(ep >= mp, 1, 2))
 
-    def shift_dn(a, head):                          # a[p] -> a[p-1]
-        return jnp.concatenate([head, a[:-1]], axis=0)
+    me, mo = _phases(mrow)
+    ce, co = _phases(cidx)
+    mo_prev = jnp.concatenate([mp, mo[:-1]], axis=0)
+    co_prev = jnp.concatenate([cp, co[:-1]], axis=0)
+    m = jnp.maximum(jnp.maximum(mo_prev, me), mo)
+    idx = jnp.where(mo_prev >= m, co_prev,
+                    jnp.where(me >= m, 3 + ce, 6 + co))
+    # sentinel 9 when the post-ReLU max is 0: the ReLU kills every
+    # gradient in the window (see _bwd_kernel)
+    idx = jnp.where(m > 0.0, idx, 9)
+    out_ref[:] = m.astype(out_ref.dtype)
+    idx_ref[:] = idx.astype(jnp.int8)
 
-    e1s, o1s, v1s = shift_dn(e1, ep), shift_dn(o1, op), shift_dn(v1, vp)
 
-    # window candidates, row-major order (first-max wins the gradient)
-    cands = (v1s, e1s, o1s, v0, e0, o0, v1, e1, o1)
-    m = functools.reduce(jnp.maximum, cands)
-    gq = g_ref[:].astype(jnp.float32)               # [RP, W, c]
-
-    picked = []
-    prefix = jnp.full_like(m, _NEG)
-    for z_k in cands:
-        picked.append(jnp.where((z_k >= m) & (prefix < m), gq, 0.0))
-        prefix = jnp.maximum(prefix, z_k)
-    (p0, p1, p2, p3, p4, p5, p6, p7, p8) = picked
-
-    # next pooled row's window (its row-2p-1 candidates are OUR last
-    # odd conv row); compute its first-max choice for k0..k2 only
+def _bwd_kernel(idx_ref, nidx_ref, g_ref, gn_ref, sc_ref, dy_ref,
+                *, c, bpi):
+    """Pure index routing: dy = scatter of the pooled cotangent to its
+    window's stored first-max candidate, times the BN scale. Candidate
+    order (k0..k8) and the layout algebra match the forward:
+    k4/k7 -> even cols of conv rows 2p/2p+1; k5/k8 -> odd cols;
+    k3/k6 -> odd cols one packed column LEFT (the 2q-1 candidates);
+    k0..k2 live on conv row 2p-1 = the PREVIOUS pooled row's odd conv
+    row, so they arrive via the next pooled row's picks (shift_up)."""
+    g = pl.program_id(0)
+    idx = idx_ref[:].astype(jnp.int32)              # [RP, W, c]
+    gq = g_ref[:].astype(jnp.float32)
     last = jax.lax.rem(g + 1, bpi) == 0             # next row = new image
-    zn = jnp.where(last, _NEG, _bn_relu(n_ref[:], sc, sh))  # [2, W, 2c]
-    en, on = zn[..., :c], zn[..., c:]
-    vn = _shift_w(zn)[..., c:]
-    ncands = (v1[-1:], e1[-1:], o1[-1:],
-              vn[:1], en[:1], on[:1],
-              vn[1:], en[1:], on[1:])
-    mn = functools.reduce(jnp.maximum, ncands)
+    nidx = nidx_ref[:].astype(jnp.int32)            # [1, W, c]
     gn = jnp.where(last, 0.0, gn_ref[:].astype(jnp.float32))
-    npick = []
-    prefix = jnp.full_like(mn, _NEG)
-    for z_k in ncands[:3]:
-        npick.append(jnp.where((z_k >= mn) & (prefix < mn), gn, 0.0))
-        prefix = jnp.maximum(prefix, z_k)
-    n0, n1, n2 = npick
+
+    def r(k):
+        return jnp.where(idx == k, gq, 0.0)
+
+    def rn(k):
+        return jnp.where(nidx == k, gn, 0.0)
 
     def shift_up(a, fill):                          # a[p] -> a[p+1]
         return jnp.concatenate([a[1:], fill], axis=0)
 
-    de0 = p4
-    de1 = p7 + shift_up(p1, n1)
-    do0 = _unshift_w(p3) + p5
-    do1 = (_unshift_w(p6) + p8
-           + shift_up(_unshift_w(p0) + p2, _unshift_w(n0) + n2))
+    de0 = r(4)
+    de1 = r(7) + shift_up(r(1), rn(1))
+    do0 = _unshift_w(r(3)) + r(5)
+    do1 = (_unshift_w(r(6)) + r(8)
+           + shift_up(_unshift_w(r(0)) + r(2), _unshift_w(rn(0)) + rn(2)))
 
     def interleave(a0, a1):                         # phases -> conv rows
         return jnp.stack([a0, a1], axis=1).reshape(
             2 * a0.shape[0], *a0.shape[1:])
 
-    de = interleave(de0, de1)
-    do = interleave(do0, do1)
-    dy = jnp.concatenate([de * (e > 0.0) * sc[..., :c],
-                          do * (o > 0.0) * sc[..., c:]], axis=-1)
+    sc = sc_ref[:]
+    dy = jnp.concatenate([interleave(de0, de1) * sc[..., :c],
+                          interleave(do0, do1) * sc[..., c:]], axis=-1)
     dy_ref[:] = dy.astype(dy_ref.dtype)
 
 
@@ -194,16 +212,6 @@ def _prev_rows(y3, rows_per_block):
     return jnp.concatenate([y3[:1], y3[r - 1::r][:-1]], axis=0)
 
 
-def _next2_rows(y3, rows_per_block):
-    """S with S[2g:2g+2] = y3[(g+1)*r : (g+1)*r + 2] (first two conv
-    rows of block g+1; the last pair is a dummy — masked via the
-    image-boundary check)."""
-    r = rows_per_block
-    f2 = y3.reshape(-1, r, *y3.shape[1:])[:, :2]
-    f2 = jnp.concatenate([f2[1:], f2[:1]], axis=0)
-    return f2.reshape(-1, *y3.shape[1:])
-
-
 def _next_grad(gq3, rp):
     """S with S[g] = gq3[(g+1)*rp] (first pooled-grad row of block g+1;
     last entry dummy, masked)."""
@@ -216,11 +224,14 @@ def _build(rows, hp, wp, chans, dtype_name, interpret):
     """custom-VJP pooled = maxpool3x3s2(relu(bn(col-interleave(y))))
     over merged-layout conv rows. rows = B*Hc (conv rows); y3 is
     [rows, wp, 2*chans], pooled [rows/2, wp, chans]."""
-    # fwd fits 16 pooled rows/block in scoped VMEM; the backward's live
-    # set (9 window candidates + routing masks) needs 8. (A/B on chip:
-    # fwd at rp=8 is 0.4 ms/step slower than rp=16.)
+    # plain fwd fits 16 pooled rows/block in scoped VMEM (A/B on chip:
+    # fwd at rp=8 is 0.4 ms/step slower than rp=16); the idx-emitting
+    # variant's extra live set (col-idx planes) overflows 16M scoped
+    # VMEM at 16 (by ~0.8M, measured) so it runs at 8; the
+    # index-routing backward's live set is tiny, 16 works
     rp = _pick_rp(hp)
-    rpb = _pick_rp(hp, cap=8)
+    rpi = _pick_rp(hp, cap=8)
+    rpb = _pick_rp(hp)
     dtype = jnp.dtype(dtype_name)
     c2 = 2 * chans
 
@@ -233,6 +244,7 @@ def _build(rows, hp, wp, chans, dtype_name, interpret):
                             memory_space=pltpu.VMEM)
 
     fwd_k = functools.partial(_fwd_kernel, c=chans, bpi=hp // rp)
+    fwd_idx_k = functools.partial(_fwd_idx_kernel, c=chans, bpi=hp // rpi)
     bwd_k = functools.partial(_bwd_kernel, c=chans, bpi=hp // rpb)
 
     def run_fwd(y3, sc3, sh3):
@@ -245,29 +257,40 @@ def _build(rows, hp, wp, chans, dtype_name, interpret):
             interpret=interpret,
         )(y3, _prev_rows(y3, 2 * rp), sc3, sh3)
 
-    def run_bwd(y3, sc3, sh3, gq3):
+    def run_fwd_idx(y3, sc3, sh3):
+        return pl.pallas_call(
+            fwd_idx_k, grid=(rows // (2 * rpi),),
+            in_specs=[blk_spec(2 * rpi, c2), blk_spec(1, c2),
+                      tile_spec(), tile_spec()],
+            out_specs=[blk_spec(rpi, chans), blk_spec(rpi, chans)],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows // 2, wp, chans), dtype),
+                jax.ShapeDtypeStruct((rows // 2, wp, chans), jnp.int8)],
+            interpret=interpret,
+        )(y3, _prev_rows(y3, 2 * rpi), sc3, sh3)
+
+    def run_bwd(idx3, sc3, gq3):
         return pl.pallas_call(
             bwd_k, grid=(rows // (2 * rpb),),
-            in_specs=[blk_spec(2 * rpb, c2), blk_spec(1, c2),
-                      blk_spec(2, c2), blk_spec(1, chans),
-                      blk_spec(rpb, chans),
-                      tile_spec(), tile_spec()],
+            in_specs=[blk_spec(rpb, chans), blk_spec(1, chans),
+                      blk_spec(rpb, chans), blk_spec(1, chans),
+                      tile_spec()],
             out_specs=blk_spec(2 * rpb, c2),
             out_shape=jax.ShapeDtypeStruct((rows, wp, c2), dtype),
             interpret=interpret,
-        )(y3, _prev_rows(y3, 2 * rpb), _next2_rows(y3, 2 * rpb),
-          _next_grad(gq3, rpb), gq3, sc3, sh3)
+        )(idx3, _next_grad(idx3, rpb), gq3, _next_grad(gq3, rpb), sc3)
 
     @jax.custom_vjp
     def pool2d(y3, sc3, sh3):
         return run_fwd(y3, sc3, sh3)
 
     def fwd(y3, sc3, sh3):
-        return run_fwd(y3, sc3, sh3), (y3, sc3, sh3)
+        out, idx3 = run_fwd_idx(y3, sc3, sh3)
+        return out, (idx3, sc3, sh3)
 
     def bwd(res, gq3):
-        y3, sc3, sh3 = res
-        dy = run_bwd(y3, sc3, sh3, gq3)
+        idx3, sc3, sh3 = res
+        dy = run_bwd(idx3, sc3, gq3)
         return dy, jnp.zeros_like(sc3), jnp.zeros_like(sh3)
 
     pool2d.defvjp(fwd, bwd)
