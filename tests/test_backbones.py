@@ -133,6 +133,49 @@ def test_fused_stem_pool_pallas_interpret_matches_twin():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_stem_pool_dead_window_grads_are_zero():
+    """When the BN shift drives every pre-activation negative, the
+    ReLU zeroes the whole window: the pooled output is 0 and the
+    routed gradient must be exactly 0 (the idx plane's sentinel path),
+    matching the twin."""
+    import numpy as np
+    from odtk_tpu.ops.pallas import fused_bn_relu_pool
+    y = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (1, 32, 16, 16),
+                                  jnp.float32))
+    scale = jnp.ones((8,), jnp.float32)
+    shift = jnp.full((8,), -100.0, jnp.float32)   # kills every window
+
+    for interpret in (False, True):
+        def loss(y):
+            return jnp.sum(fused_bn_relu_pool(y, scale, shift,
+                                              interpret=interpret) ** 2)
+        g = jax.grad(loss)(y)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_fused_stem_pool_tie_routing_matches_twin():
+    """Constant input: every window candidate ties, so the gradient
+    goes to the FIRST candidate in window scan order — kernel and twin
+    (XLA select-and-scatter) must agree position for position."""
+    import numpy as np
+    from odtk_tpu.ops.pallas import fused_bn_relu_pool
+    y = jnp.ones((1, 32, 16, 16), jnp.float32)
+    scale = jnp.ones((8,), jnp.float32)
+    shift = jnp.zeros((8,), jnp.float32)
+
+    def grad_of(interpret):
+        def loss(y):
+            p = fused_bn_relu_pool(y, scale, shift, interpret=interpret)
+            k = jnp.arange(p.size, dtype=jnp.float32).reshape(p.shape)
+            return jnp.sum(p * jnp.cos(k))
+        return jax.grad(loss)(y)
+
+    g_t = grad_of(False)
+    g_k = grad_of(True)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_t),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_resnet_fused_stem_matches_plain_stem():
     """Whole-backbone check: fused_stem=True and False produce the same
     features from the same parameters (CPU twin path)."""
