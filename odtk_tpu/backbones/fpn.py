@@ -58,6 +58,9 @@ class FPN(nn.Module):
 
 
 @register
-def MobileNetV2FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
-    del mesh, fused_stem  # 3x3/s2 stem — no fused 7x7 stem path here
+def MobileNetV2FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+                   wpack_layer1=False):
+    # 3x3/s2 stem, inverted-residual trunk — no fused 7x7 stem and no
+    # 64-ch layer1 to width-pack here
+    del mesh, fused_stem, wpack_layer1
     return FPN(MobileNet(outputs=(6, 13, 17), dtype=dtype), dtype=dtype, name=name)

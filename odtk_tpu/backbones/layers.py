@@ -39,6 +39,9 @@ class FixedBatchNorm(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     fold: bool = False
+    # wpack: x is width-pair-packed ([..., 2*features], packed channel
+    # = phase*features + c); apply the per-channel affine tiled x2.
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +58,8 @@ class FixedBatchNorm(nn.Module):
         b = bias - mean * w
         if self.fold:
             return w, b
+        if self.wpack:
+            w, b = jnp.tile(w, 2), jnp.tile(b, 2)
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
@@ -129,6 +134,44 @@ def merged_phase_conv(x4, km, feature_group_count=1,
                                         **kw)
 
 
+def wpack_kernel(w):
+    """Stride-1, pad-k//2 kernel [kh,kw,C,O] -> its W-packed twin
+    [kh,kw',2C,2O] operating on width-pair-packed activations
+    ([B,H,W,C] -> [B,H,W/2,2C], a FREE row-major reshape; packed
+    channel = phase*C + c).
+
+    Rationale: layer1's 64-in/64-out 3x3 convs fill only half of a
+    128-lane MXU tile on each side (~47 TFLOP/s measured, 24% of
+    peak). Packing adjacent column pairs into lanes doubles the FLOPs
+    (each packed tap carries two column phases) but quadruples lane
+    utilization, with identical activation bytes.
+
+    1x1: block-diagonal duplicate (each phase maps through w).
+    3x3: output packed col q, phase fo reads orig cols 2q+fo+dj-1,
+    which live at packed (q+dv-1, phase fi); exactly 6 (fo,dv,fi)
+    slots carry the taps dj, the rest stay zero:
+        fo=0: (dv,fi,dj) = (0,1,0), (1,0,1), (1,1,2)
+        fo=1: (dv,fi,dj) = (1,0,0), (1,1,1), (2,0,2)
+    Edge columns are exact: packed SAME padding zeroes orig cols
+    {-2,-1} and {W,W+1}; the taps only ever reach -1 and W. Built by
+    static block-assignments, so autodiff routes the packed weight
+    gradient back to the [kh,kw,C,O] parameter."""
+    kh, kw, c, o = w.shape
+    if (kh, kw) == (1, 1):
+        K = jnp.zeros((1, 1, 2 * c, 2 * o), w.dtype)
+        K = K.at[:, :, :c, :o].set(w)
+        return K.at[:, :, c:, o:].set(w)
+    assert (kh, kw) == (3, 3), f'wpack supports 1x1/3x3 kernels, got {w.shape}'
+    K = jnp.zeros((3, 3, 2 * c, 2 * o), w.dtype)
+    slots = {0: [(0, 1, 0), (1, 0, 1), (1, 1, 2)],
+             1: [(1, 0, 0), (1, 1, 1), (2, 0, 2)]}
+    for fo, lst in slots.items():
+        for dv, fi, dj in lst:
+            K = K.at[:, dv, fi * c:(fi + 1) * c,
+                     fo * o:(fo + 1) * o].set(w[:, dj])
+    return K
+
+
 class QuantConv(nn.Module):
     """2-D convolution with an optional int8 MXU execution path.
 
@@ -164,6 +207,12 @@ class QuantConv(nn.Module):
     # [B,H/2,W/2,O] relayout, and misaligned 7x7x3 weight-gradient
     # fixups — together ~3 ms/step at b=8 @832 on v5e.
     s2d_phases: bool = False
+    # wpack: activations arrive width-pair-packed ([B,H,W/2,2Cin]) and
+    # the result is returned packed ([B,H,W/2,2*features]); the stored
+    # parameter keeps its plain [kh,kw,Cin,features] shape/name (same
+    # checkpoints) and is transformed at apply time by wpack_kernel.
+    # Only stride-1 ungrouped 1x1/3x3 convs (the layer1 shapes).
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -175,6 +224,8 @@ class QuantConv(nn.Module):
                     if self.use_bias else None)
         else:
             in_ch = x.shape[-1] // self.feature_group_count
+            if self.wpack:
+                in_ch = x.shape[-1] // 2
             kernel = self.param('kernel', self.kernel_init,
                                 (*self.kernel_size, in_ch, self.features),
                                 self.param_dtype)
@@ -199,6 +250,18 @@ class QuantConv(nn.Module):
                 ('s2d_phases requires input H%2==0 and W%4==0, got '
                  f'{x.shape[1]}x{x.shape[2]}')
 
+        if self.wpack:
+            assert not self.s2d_phases, 'wpack and s2d_phases are exclusive'
+            assert self.kernel_size in ((1, 1), (3, 3)), \
+                f'wpack supports 1x1/3x3 kernels, got {self.kernel_size}'
+            assert tuple(self.strides) == (1, 1), \
+                f'wpack requires stride (1, 1), got {self.strides}'
+            assert self.feature_group_count == 1, \
+                'wpack requires an ungrouped conv'
+            p = self.kernel_size[0] // 2
+            assert list(map(tuple, padding)) == [(p, p)] * 2, \
+                f'wpack requires pad k//2, got {padding}'
+
         if quantized and self.has_variable('quant', 'act_scale'):
             # w8a8: full int8 convolution, int32 accumulation.
             # Measured 2.3x SLOWER than bf16 through XLA's current conv
@@ -214,6 +277,17 @@ class QuantConv(nn.Module):
                 y = merged_phase_conv(space_to_depth_fold(xq), km,
                                       self.feature_group_count,
                                       preferred_element_type=jnp.int32)
+                y = (y.astype(jnp.float32)
+                     * (act_scale * jnp.tile(w_scale, 2)))
+                if bias is not None:
+                    y = y + jnp.tile(bias, 2).astype(jnp.float32)
+                return y.astype(self.dtype)
+            if self.wpack:
+                y = jax.lax.conv_general_dilated(
+                    xq, wpack_kernel(kernel.astype(jnp.int8)),
+                    window_strides=(1, 1), padding=padding,
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    preferred_element_type=jnp.int32)
                 y = (y.astype(jnp.float32)
                      * (act_scale * jnp.tile(w_scale, 2)))
                 if bias is not None:
@@ -244,6 +318,15 @@ class QuantConv(nn.Module):
             if bias is None:
                 return y
             return y + jnp.tile(bias, 2).astype(self.dtype)
+
+        if self.wpack:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wpack_kernel(kernel.astype(self.dtype)),
+                window_strides=(1, 1), padding=padding,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            if bias is not None:
+                y = y + jnp.tile(bias, 2).astype(self.dtype)
+            return y
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),

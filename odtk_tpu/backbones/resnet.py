@@ -20,13 +20,13 @@ _KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
 
 def _conv(features, kernel, stride=1, groups=1, name=None, dtype=jnp.float32,
-          s2d=False):
+          s2d=False, wpack=False):
     pad = kernel // 2
     return QuantConv(features, (kernel, kernel), strides=(stride, stride),
                      padding=[(pad, pad), (pad, pad)], use_bias=False,
                      feature_group_count=groups, dtype=dtype,
                      param_dtype=jnp.float32, kernel_init=_KAIMING,
-                     s2d_phases=s2d, name=name)
+                     s2d_phases=s2d, wpack=wpack, name=name)
 
 
 class BasicBlock(nn.Module):
@@ -34,21 +34,28 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    # wpack: the whole block runs on width-pair-packed activations
+    # (stride-1 stages only; parameters identical either way)
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = _conv(self.planes, 3, self.stride, name='conv1',
-                    dtype=self.dtype)(x)
-        out = FixedBatchNorm(self.planes, dtype=self.dtype, name='bn1')(out)
+                    dtype=self.dtype, wpack=self.wpack)(x)
+        out = FixedBatchNorm(self.planes, dtype=self.dtype, name='bn1',
+                             wpack=self.wpack)(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, name='conv2', dtype=self.dtype)(out)
-        out = FixedBatchNorm(self.planes, dtype=self.dtype, name='bn2')(out)
+        out = _conv(self.planes, 3, name='conv2', dtype=self.dtype,
+                    wpack=self.wpack)(out)
+        out = FixedBatchNorm(self.planes, dtype=self.dtype, name='bn2',
+                             wpack=self.wpack)(out)
         if self.downsample:
             identity = _conv(self.planes, 1, self.stride, name='downsample_0',
-                             dtype=self.dtype)(x)
+                             dtype=self.dtype, wpack=self.wpack)(x)
             identity = FixedBatchNorm(self.planes, dtype=self.dtype,
-                                      name='downsample_1')(identity)
+                                      name='downsample_1',
+                                      wpack=self.wpack)(identity)
         return nn.relu(out + identity)
 
 
@@ -60,26 +67,33 @@ class Bottleneck(nn.Module):
     width_per_group: int = 64
     dtype: Any = jnp.float32
     expansion: int = 4
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
         width = int(self.planes * (self.width_per_group / 64.0)) * self.groups
         out_ch = self.planes * self.expansion
         identity = x
-        out = _conv(width, 1, name='conv1', dtype=self.dtype)(x)
-        out = FixedBatchNorm(width, dtype=self.dtype, name='bn1')(out)
+        out = _conv(width, 1, name='conv1', dtype=self.dtype,
+                    wpack=self.wpack)(x)
+        out = FixedBatchNorm(width, dtype=self.dtype, name='bn1',
+                             wpack=self.wpack)(out)
         out = nn.relu(out)
         out = _conv(width, 3, self.stride, groups=self.groups, name='conv2',
-                    dtype=self.dtype)(out)
-        out = FixedBatchNorm(width, dtype=self.dtype, name='bn2')(out)
+                    dtype=self.dtype, wpack=self.wpack)(out)
+        out = FixedBatchNorm(width, dtype=self.dtype, name='bn2',
+                             wpack=self.wpack)(out)
         out = nn.relu(out)
-        out = _conv(out_ch, 1, name='conv3', dtype=self.dtype)(out)
-        out = FixedBatchNorm(out_ch, dtype=self.dtype, name='bn3')(out)
+        out = _conv(out_ch, 1, name='conv3', dtype=self.dtype,
+                    wpack=self.wpack)(out)
+        out = FixedBatchNorm(out_ch, dtype=self.dtype, name='bn3',
+                             wpack=self.wpack)(out)
         if self.downsample:
             identity = _conv(out_ch, 1, self.stride, name='downsample_0',
-                             dtype=self.dtype)(x)
+                             dtype=self.dtype, wpack=self.wpack)(x)
             identity = FixedBatchNorm(out_ch, dtype=self.dtype,
-                                      name='downsample_1')(identity)
+                                      name='downsample_1',
+                                      wpack=self.wpack)(identity)
         return nn.relu(out + identity)
 
 
@@ -108,6 +122,12 @@ class ResNet(nn.Module):
     # --no-fused-stem thread it down here); a plain default, never an
     # env read at class-definition time
     fused_stem: bool = True
+    # run layer1 on width-pair-packed activations ([B,H,W/2,2C]): its
+    # 64-channel convs fill only half the 128-lane MXU tile; packing
+    # trades 2x FLOPs for 4x lane utilization (see layers.wpack_kernel).
+    # Entry/exit are free reshapes; parameters/checkpoints identical.
+    # Applies to ungrouped stage-0 blocks with even pooled width only.
+    wpack_layer1: bool = False
     mesh: Any = None
 
     # FPN channel table hook (odtk/backbones/fpn.py:20-22)
@@ -142,8 +162,13 @@ class ResNet(nn.Module):
                 break
             planes = 64 * (2 ** stage)
             stride = 1 if stage == 0 else 2
+            wp = (stage == 0 and self.wpack_layer1 and self.groups == 1
+                  and x.shape[2] % 2 == 0)
+            if wp:
+                b_, h_, w_, c_ = x.shape
+                x = x.reshape(b_, h_, w_ // 2, 2 * c_)
             for i in range(blocks):
-                kwargs = dict(planes=planes, dtype=self.dtype,
+                kwargs = dict(planes=planes, dtype=self.dtype, wpack=wp,
                               name=f'layer{stage + 1}_{i}')
                 if self.bottleneck:
                     kwargs.update(groups=self.groups,
@@ -152,6 +177,9 @@ class ResNet(nn.Module):
                             (stride != 1 or in_ch != planes * expansion))
                 x = block(stride=stride if i == 0 else 1,
                           downsample=needs_ds, **kwargs)(x)
+            if wp:
+                b_, h_, wh, c2 = x.shape
+                x = x.reshape(b_, h_, wh * 2, c2 // 2)
             in_ch = planes * expansion
             if level in self.outputs:
                 outs.append(x)
@@ -159,57 +187,69 @@ class ResNet(nn.Module):
 
 
 @register
-def ResNet18FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet18FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+                wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(2, 2, 2, 2), bottleneck=False, dtype=dtype,
-                      mesh=mesh, fused_stem=fused_stem),
+                      mesh=mesh, fused_stem=fused_stem,
+                      wpack_layer1=wpack_layer1),
                dtype=dtype, name=name)
 
 
 @register
-def ResNet34FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet34FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+                wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 6, 3), bottleneck=False, dtype=dtype,
-                      mesh=mesh, fused_stem=fused_stem),
+                      mesh=mesh, fused_stem=fused_stem,
+                      wpack_layer1=wpack_layer1),
                dtype=dtype, name=name)
 
 
 @register
-def ResNet50FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet50FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+                wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 6, 3), dtype=dtype, mesh=mesh,
-                      fused_stem=fused_stem), dtype=dtype, name=name)
+                      fused_stem=fused_stem, wpack_layer1=wpack_layer1),
+               dtype=dtype, name=name)
 
 
 @register
-def ResNet101FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet101FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+                 wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 23, 3), dtype=dtype, mesh=mesh,
-                      fused_stem=fused_stem), dtype=dtype, name=name)
+                      fused_stem=fused_stem, wpack_layer1=wpack_layer1),
+               dtype=dtype, name=name)
 
 
 @register
-def ResNet152FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet152FPN(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+                 wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 8, 36, 3), dtype=dtype, mesh=mesh,
-                      fused_stem=fused_stem), dtype=dtype, name=name)
+                      fused_stem=fused_stem, wpack_layer1=wpack_layer1),
+               dtype=dtype, name=name)
 
 
 @register
 def ResNeXt50_32x4dFPN(dtype=jnp.float32, name=None, mesh=None,
-                       fused_stem=True):
+                       fused_stem=True, wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 6, 3), groups=32, width_per_group=4,
-                      dtype=dtype, mesh=mesh, fused_stem=fused_stem),
+                      dtype=dtype, mesh=mesh, fused_stem=fused_stem,
+                      wpack_layer1=wpack_layer1),
                dtype=dtype, name=name)
 
 
 @register
 def ResNeXt101_32x8dFPN(dtype=jnp.float32, name=None, mesh=None,
-                        fused_stem=True):
+                        fused_stem=True, wpack_layer1=False):
     from .fpn import FPN
     return FPN(ResNet(layers=(3, 4, 23, 3), groups=32, width_per_group=8,
-                      dtype=dtype, mesh=mesh, fused_stem=fused_stem),
+                      dtype=dtype, mesh=mesh, fused_stem=fused_stem,
+                      wpack_layer1=wpack_layer1),
                dtype=dtype, name=name)
 
 
@@ -220,23 +260,29 @@ class ResNetC4(nn.Module):
     stride: int = 16
     mesh: Any = None
     fused_stem: bool = True
+    wpack_layer1: bool = False
     feature_channels = None
 
     @nn.compact
     def __call__(self, x):
         net = ResNet(layers=self.layers, bottleneck=False, outputs=(4,),
                      dtype=self.dtype, mesh=self.mesh,
-                     fused_stem=self.fused_stem, name='features')
+                     fused_stem=self.fused_stem,
+                     wpack_layer1=self.wpack_layer1, name='features')
         return net(x)
 
 
 @register
-def ResNet18C4(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet18C4(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+               wpack_layer1=False):
     return ResNetC4(layers=(2, 2, 2, 2), dtype=dtype, mesh=mesh,
-                    fused_stem=fused_stem, name=name)
+                    fused_stem=fused_stem, wpack_layer1=wpack_layer1,
+                    name=name)
 
 
 @register
-def ResNet34C4(dtype=jnp.float32, name=None, mesh=None, fused_stem=True):
+def ResNet34C4(dtype=jnp.float32, name=None, mesh=None, fused_stem=True,
+               wpack_layer1=False):
     return ResNetC4(layers=(3, 4, 6, 3), dtype=dtype, mesh=mesh,
-                    fused_stem=fused_stem, name=name)
+                    fused_stem=fused_stem, wpack_layer1=wpack_layer1,
+                    name=name)

@@ -59,11 +59,15 @@ class RetinaNet(nn.Module):
     # run the 7x7/s2 stem as the merged space-to-depth phase conv +
     # fused BN/ReLU/pool kernel (ResNet-family backbones only)
     fused_stem: bool = True
+    # run layer1 width-pair-packed (64-ch convs at full MXU lane
+    # width; see backbones.layers.wpack_kernel)
+    wpack_layer1: bool = False
 
     def setup(self):
         self.nets = [backbones_mod.build(b, dtype=self.dtype,
                                          mesh=self.spmd_mesh,
                                          fused_stem=self.fused_stem,
+                                         wpack_layer1=self.wpack_layer1,
                                          name=f'backbones_{b}')
                      for b in self.backbone_names]
         normal01 = nn.initializers.normal(stddev=0.01)
@@ -149,6 +153,9 @@ class Model:
         # (setting it after `import odtk_tpu` works as expected).
         self.fused_stem = bool(config.get(
             'fused_stem', os.environ.get('ODTK_FUSED_STEM', '1') != '0'))
+        # width-pair-packed layer1 (same construction-time pattern)
+        self.wpack_layer1 = bool(config.get(
+            'wpack_layer1', os.environ.get('ODTK_WPACK_LAYER1', '0') != '0'))
 
         self.stride = 128            # padding stride (fpn.py:17)
         self.dtype = dtype
@@ -163,7 +170,7 @@ class Model:
             backbone_names=tuple(self.backbones), classes=classes,
             num_anchors=self.num_anchors, box_size=self.box_size,
             rotated=rotated_bbox, dtype=dtype,
-            fused_stem=self.fused_stem)
+            fused_stem=self.fused_stem, wpack_layer1=self.wpack_layer1)
         self._anchors = {}
         self._jitted = {}            # (dtype, mesh key) -> compiled infer fn
         self._loss_mesh = None       # >1-device mesh for the fused focal op
@@ -203,12 +210,21 @@ class Model:
             self._rebuild_module()
         return self
 
+    def set_wpack_layer1(self, wpack_layer1):
+        """Toggle width-pair-packed layer1 (runtime perf knob;
+        parameters and checkpoints are identical either way)."""
+        if bool(wpack_layer1) != self.wpack_layer1:
+            self.wpack_layer1 = bool(wpack_layer1)
+            self._rebuild_module()
+        return self
+
     def _rebuild_module(self):
         self.module = RetinaNet(
             backbone_names=tuple(self.backbones), classes=self.classes,
             num_anchors=self.num_anchors, box_size=self.box_size,
             rotated=self.rotated_bbox, dtype=self.dtype,
-            spmd_mesh=self._spmd_mesh, fused_stem=self.fused_stem)
+            spmd_mesh=self._spmd_mesh, fused_stem=self.fused_stem,
+            wpack_layer1=self.wpack_layer1)
 
     # ------------------------------------------------------------- anchors
     def anchors(self, stride):

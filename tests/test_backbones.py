@@ -201,3 +201,85 @@ def test_resnext_grouped_conv_shapes():
     # grouped conv kernel: [kh, kw, in/groups, out]
     k = vs['params']['features']['layer1_0']['conv2']['kernel']
     assert k.shape == (3, 3, 128 // 32, 128)
+
+
+def test_wpack_kernel_matches_plain_conv():
+    """wpack_kernel twin check: packed 3x3 and 1x1 convs on
+    width-pair-packed input reproduce the plain conv exactly
+    (including left/right edge columns)."""
+    import numpy as np
+    from odtk_tpu.backbones.layers import wpack_kernel
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    key = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(key[0], (2, 6, 8, 4), jnp.float32)
+    xp = x.reshape(2, 6, 4, 8)
+    w3 = jax.random.normal(key[1], (3, 3, 4, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv(xp, wpack_kernel(w3))),
+        np.asarray(conv(x, w3).reshape(2, 6, 4, 8)), rtol=1e-6, atol=1e-6)
+    w1 = jax.random.normal(key[2], (1, 1, 4, 6), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv(xp, wpack_kernel(w1))),
+        np.asarray(conv(x, w1).reshape(2, 6, 4, 12)), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize('bottleneck', [False, True])
+def test_resnet_wpack_layer1_matches_plain(bottleneck):
+    """Whole-backbone twin: wpack_layer1 on/off produce the same
+    features AND the same parameter gradients from identical params
+    (the packing is a pure graph transform)."""
+    import numpy as np
+    from odtk_tpu.backbones.resnet import ResNet
+    x = jnp.asarray(jax.random.normal(jax.random.PRNGKey(5),
+                                      (1, 64, 64, 3)), jnp.float32)
+    packed = ResNet(layers=(2, 2, 2, 2), bottleneck=bottleneck,
+                    wpack_layer1=True)
+    plain = ResNet(layers=(2, 2, 2, 2), bottleneck=bottleneck,
+                   wpack_layer1=False)
+    vs = plain.init(jax.random.PRNGKey(0), x)
+    op = plain.apply(vs, x)
+    ok = packed.apply(vs, x)
+    # param tree must be identical (same names/shapes -> same ckpts)
+    assert (jax.tree_util.tree_structure(packed.init(jax.random.PRNGKey(0),
+                                                     x)['params'])
+            == jax.tree_util.tree_structure(vs['params']))
+    for a, b in zip(ok, op):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def loss(net):
+        def f(params):
+            outs = net.apply({'params': params, 'frozen': vs['frozen']}, x)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return f
+    gp = jax.grad(loss(plain))(vs['params'])
+    gk = jax.grad(loss(packed))(vs['params'])
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_k = jax.tree_util.tree_leaves(gk)
+    for (path, a), b in zip(flat_p, flat_k):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_resnet_wpack_layer1_odd_width_falls_back():
+    """Odd pooled width cannot pack; the knob must silently fall back
+    to the plain path (same outputs)."""
+    import numpy as np
+    from odtk_tpu.backbones.resnet import ResNet
+    # 72/4 = 18 pooled cols (even) vs 68/4 = 17 (odd)
+    x = jnp.asarray(jax.random.normal(jax.random.PRNGKey(6),
+                                      (1, 64, 68, 3)), jnp.float32)
+    packed = ResNet(layers=(2, 2, 2, 2), bottleneck=False,
+                    wpack_layer1=True)
+    plain = ResNet(layers=(2, 2, 2, 2), bottleneck=False,
+                   wpack_layer1=False)
+    vs = plain.init(jax.random.PRNGKey(0), x)
+    for a, b in zip(packed.apply(vs, x), plain.apply(vs, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
