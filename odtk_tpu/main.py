@@ -117,6 +117,14 @@ def parse(args):
                               default=0.002)
     parser_train.add_argument('--regularization-l2', metavar='value', type=float,
                               help='weight decay coefficient', default=0.0001)
+    parser_train.add_argument('--clip-grads', metavar='norm', type=float,
+                              default=0.0,
+                              help='clip gradients to this global norm '
+                                   '(0 disables; recommended ~25 for '
+                                   'rotated fine-tunes, whose gradient '
+                                   'spikes the reference AMP scaler '
+                                   'absorbed by skipping fp16-overflow '
+                                   'steps)')
     parser_train.add_argument('--rotated-bbox', action='store_true',
                               help='train with rotated boxes (x, y, w, h, theta)')
     parser_train.add_argument('--anchor-ious', metavar='value value', type=float,
@@ -330,7 +338,8 @@ def run(args, model, state):
     # semantically inert here — say so once instead of silently eating them
     if getattr(args, 'with_apex', False):
         print('--with-apex ignored: bf16 mixed precision is the default '
-              '(use --full-precision for fp32); there is no AMP scaler')
+              '(use --full-precision for fp32); non-finite steps are '
+              'skipped in-graph, see also --clip-grads')
     if any(getattr(args, 'augment_free_rotate', [0, 0])):
         print('--augment-free-rotate ignored: the reference defines this '
               'flag but never feeds it to training')
@@ -353,7 +362,7 @@ def run(args, model, state):
             regularization_l2=args.regularization_l2,
             rotated_bbox=args.rotated_bbox,
             absolute_angle=args.absolute_angle, max_det=args.max_det,
-            profile_dir=args.profile_dir)
+            profile_dir=args.profile_dir, clip_grads=args.clip_grads)
 
     elif args.command == 'infer':
         if model is None:

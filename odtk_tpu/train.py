@@ -4,9 +4,15 @@ Functional parity with odtk/train.py:18-220, redesigned for TPU:
   * SGD(momentum 0.9) + L2 weight decay via optax, with the reference's
     warmup+milestone LambdaLR schedule (train.py:52-57) as an optax
     schedule — lr changes live inside the compiled graph, no recompile.
-  * Mixed precision = bf16 compute, fp32 params/loss. No loss scaling
-    needed (bf16 keeps fp32's exponent range), so the reference's
-    GradScaler/Apex machinery (train.py:37-43,91) has no equivalent.
+  * Mixed precision = bf16 compute, fp32 params/loss. bf16 keeps
+    fp32's exponent range, so the reference's loss-scaling half of
+    GradScaler/Apex (train.py:37-43,91) has no equivalent — but the
+    scaler's OTHER job, silently skipping steps whose grads overflow
+    fp16 (a de-facto spike guard), does: the train step skips the
+    parameter/optimizer update in-graph whenever the global gradient
+    norm is non-finite, and ``clip_grads`` adds the standard
+    global-norm clip for recipes (rotated fine-tune) whose gradient
+    spikes stay finite in bf16 but would have tripped fp16.
   * DDP gradient allreduce (implicit NCCL) -> XLA psum inserted by jit
     over the batch-sharded ``data`` mesh axis; the explicit loss
     all_reduce (train.py:127-131) is likewise free: the loss is already
@@ -51,9 +57,12 @@ def lr_schedule(lr, warmup, milestones, gamma):
 
 
 def make_optimizer(lr, warmup, milestones, gamma, weight_decay=1e-4,
-                   momentum=0.9, flat=False):
+                   momentum=0.9, flat=False, clip_grads=0.0):
     """SGD+momentum with decoupled-from-schedule L2 (torch-SGD order:
     wd folds into the gradient before the momentum buffer).
+
+    clip_grads > 0 clips the raw gradients by global norm BEFORE weight
+    decay and momentum (torch clip_grad_norm_ order).
 
     flat=True runs the update on ONE raveled parameter vector instead
     of per-tensor tree ops. Measured dead end on v5e (82.7 -> 86.9
@@ -65,10 +74,12 @@ def make_optimizer(lr, warmup, milestones, gamma, weight_decay=1e-4,
     """
     schedule = lr_schedule(lr, warmup, milestones, gamma)
     if not flat:
-        return optax.chain(
-            optax.add_decayed_weights(weight_decay),
-            optax.trace(decay=momentum),
-            optax.scale_by_learning_rate(schedule))
+        chain = [optax.add_decayed_weights(weight_decay),
+                 optax.trace(decay=momentum),
+                 optax.scale_by_learning_rate(schedule)]
+        if clip_grads and clip_grads > 0:
+            chain.insert(0, optax.clip_by_global_norm(clip_grads))
+        return optax.chain(*chain)
 
     from jax.flatten_util import ravel_pytree
 
@@ -80,6 +91,9 @@ def make_optimizer(lr, warmup, milestones, gamma, weight_decay=1e-4,
     def update(grads, state, params):
         g, unravel = ravel_pytree(grads)
         p, _ = ravel_pytree(params)
+        if clip_grads and clip_grads > 0:
+            gn = jnp.linalg.norm(g)
+            g = g * jnp.minimum(1.0, clip_grads / jnp.maximum(gn, 1e-12))
         g = g + weight_decay * p
         mu = state['trace'] * momentum + g
         upd = (-schedule(state['count'])) * mu
@@ -107,8 +121,17 @@ def make_train_step(model, tx, mesh):
 
         (_, (cl, bl)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # GradScaler-equivalent step skip (reference train.py:91 via
+        # scaler.step): a non-finite gradient leaves params AND the
+        # momentum buffers untouched, so one pathological batch can't
+        # poison the run. In-graph, so no host sync; the select fuses
+        # into apply_updates.
+        ok = jnp.isfinite(optax.global_norm(grads))
+        pick = lambda n, o: jnp.where(ok, n, o)
+        params = jax.tree.map(pick, new_params, params)
+        opt_state = jax.tree.map(pick, new_opt, opt_state)
         return params, opt_state, cl, bl
 
     return jax.jit(
@@ -126,7 +149,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
           augment_brightness=0.0, augment_contrast=0.0,
           augment_hue=0.0, augment_saturation=0.0, regularization_l2=0.0001,
           rotated_bbox=False, absolute_angle=False, max_det=128,
-          use_dali=False, profile_dir=None, sync_every=8):
+          use_dali=False, profile_dir=None, sync_every=8, clip_grads=0.0):
     'Train the model on the given dataset'
     del use_dali  # host pipeline is always the fused loader on TPU
 
@@ -139,7 +162,8 @@ def train(model, state, path, annotations, val_path, val_annotations,
 
     # clean startup error on multi-host misconfiguration (main.py:170-171)
     mesh = make_mesh_for_batch(host_local_batch_size(batch_size))
-    tx = make_optimizer(lr, warmup, milestones, gamma, regularization_l2)
+    tx = make_optimizer(lr, warmup, milestones, gamma, regularization_l2,
+                        clip_grads=clip_grads)
     params = model.variables['params']
     frozen = model.variables['frozen']
     opt_state = tx.init(params)

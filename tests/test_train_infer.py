@@ -80,6 +80,93 @@ def test_flat_optimizer_matches_optax_chain():
                                    np.asarray(p_ref[k1][k2]), rtol=2e-6)
 
 
+def test_clip_grads_matches_torch_clip_then_sgd():
+    """clip_grads clips raw grads by global norm BEFORE wd+momentum
+    (torch clip_grad_norm_ order), identically in the chain and flat
+    optimizer forms."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {'a': jnp.linspace(-1.0, 1.0, 8).reshape(2, 4),
+              'b': jnp.arange(3.0)}
+    kw = dict(lr=0.05, warmup=0, milestones=[], gamma=0.1,
+              weight_decay=1e-2, momentum=0.9, clip_grads=0.5)
+    tx = make_optimizer(flat=False, **kw)
+    tx_flat = make_optimizer(flat=True, **kw)
+    s, s_flat = tx.init(params), tx_flat.init(params)
+    p, p_flat = params, params
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda x: jnp.asarray(10.0 * rng.randn(*x.shape), jnp.float32),
+            p)
+        # hand-computed expectation for the chain form, step by step
+        gn = float(optax.global_norm(grads))
+        assert gn > 0.5  # the clip must actually engage
+        u, s = tx.update(grads, s, p)
+        assert float(optax.global_norm(
+            jax.tree.map(lambda g: g * (0.5 / gn), grads))) <= 0.5 + 1e-6
+        p = optax.apply_updates(p, u)
+        u2, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        p_flat = optax.apply_updates(p_flat, u2)
+    for k in ('a', 'b'):
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(p_flat[k]),
+                                   rtol=3e-6, atol=1e-7)
+    # displacement bound: each step's momentum buffer holds at most
+    # sum_j 0.9^j * (clip + wd*|p|) of clipped gradient, so 4 steps
+    # move at most lr * (1+1.9+2.71+3.44) * (0.5 + ~0.03) ~= 0.24.
+    # The raw grads are ~20x the clip (gn ~ 10-30), so landing under
+    # this bound proves the clip engaged.
+    assert float(optax.global_norm(jax.tree.map(
+        lambda a, b: a - b, p, params))) < 0.25
+
+
+def test_nonfinite_step_is_skipped():
+    """A nan/inf gradient must leave params AND momentum untouched
+    (the GradScaler skip equivalent), and training must continue."""
+    import jax
+    import jax.numpy as jnp
+    from odtk_tpu.train import make_train_step
+    from odtk_tpu.parallel import make_mesh_for_batch
+
+    m = Model(backbones='ResNet18FPN', classes=2)
+    m.initialize(rng=0, image_size=(64, 64))
+    tx = make_optimizer(lr=0.01, warmup=0, milestones=[], gamma=0.1)
+    params = m.variables['params']
+    frozen = m.variables['frozen']
+    opt_state = tx.init(params)
+    mesh = make_mesh_for_batch(1)
+    step = make_train_step(m, tx, mesh)
+
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ntgt = 6 if m.rotated_bbox else 5
+    targets = jnp.full((1, 4, ntgt), -1.0)
+    targets = targets.at[0, 0].set(
+        jnp.asarray([10.0, 10.0, 30.0, 30.0, 0.0][:ntgt]))
+
+    p1, o1, cl1, bl1 = step(params, opt_state, frozen, images, targets)
+    assert np.isfinite(float(cl1)) and np.isfinite(float(bl1))
+    p1_host = jax.device_get(p1)  # inputs are donated — snapshot first
+
+    # poison the batch: nan images produce nan losses and nan grads,
+    # and the step must return the inputs unchanged
+    bad = jnp.full_like(images, jnp.nan)
+    p2, o2, cl2, bl2 = step(p1, o1, frozen, bad, targets)
+    p2_host = jax.device_get(p2)
+    same = jax.tree.map(lambda a, b: bool(np.array_equal(a, b)),
+                        p1_host, p2_host)
+    assert all(jax.tree_util.tree_leaves(same))
+
+    # and a following healthy step still learns
+    p3, o3, cl3, bl3 = step(p2, o2, frozen, images, targets)
+    assert np.isfinite(float(cl3)) and np.isfinite(float(bl3))
+    changed = any(not np.array_equal(a, np.asarray(b))
+                  for a, b in zip(jax.tree_util.tree_leaves(p2_host),
+                                  jax.tree_util.tree_leaves(p3)))
+    assert changed
+
+
 def test_train_runs_and_checkpoints(dataset):
     root, img_dir, ann = dataset
     m = small_model()
