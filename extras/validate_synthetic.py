@@ -70,6 +70,19 @@ def main():
     import tempfile
     work = args.workdir or tempfile.mkdtemp(prefix='odtk_validate_')
     os.makedirs(work, exist_ok=True)
+    # crash-resumable: every completed leg's stats are flushed to
+    # --out immediately; on a rerun with the same --workdir, legs
+    # whose stats are already recorded are skipped (the TPU backend
+    # can wedge for an hour mid-run -- see CLAUDE.md -- and losing
+    # 40 min of completed training to one late-leg error is how
+    # round 3 lost its numbers)
+    done = {}
+    if args.workdir and os.path.isfile(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get('workdir') == work:
+            done = {k: v for k, v in prev.items()
+                    if isinstance(v, dict) and k != 'recipe' and v}
     sys.path.insert(0, os.path.join(ROOT, 'tests'))
     from synth import make_dataset
 
@@ -93,7 +106,12 @@ def main():
                       'batch': 8, 'resize': res, 'images': n_im,
                       'rotated_iters': args.rotated_iters},
            'workdir': work}
+    out.update(done)
     t_all = time.time()
+
+    def flush():
+        with open(args.out, 'w') as f:
+            json.dump(out, f, indent=1)
     common = ['--classes', 3, '--batch', 8, '--resize', res,
               '--max-size', mx, '--jitter', res, res,
               '--lr', 0.004, '--warmup', 300, '--milestones', mile,
@@ -101,28 +119,34 @@ def main():
 
     # 1. axis training from scratch
     ckpt = os.path.join(work, 'axis.ckpt')
-    run_cli(['train', ckpt, '--backbone', 'ResNet18FPN',
-             '--images', img, '--annotations', ann,
-             '--iters', args.iters] + common, 'train-axis')
+    if 'axis_ckpt' not in out:
+        run_cli(['train', ckpt, '--backbone', 'ResNet18FPN',
+                 '--images', img, '--annotations', ann,
+                 '--iters', args.iters] + common, 'train-axis')
 
-    # 2. checkpoint eval
-    s = run_cli(['infer', ckpt, '--images', img, '--annotations', ann,
-                 '--batch', 8, '--resize', res, '--max-size', mx],
-                'eval-ckpt')
-    out['axis_ckpt'] = parse_stats(s)
+        # 2. checkpoint eval
+        s = run_cli(['infer', ckpt, '--images', img, '--annotations', ann,
+                     '--batch', 8, '--resize', res, '--max-size', mx],
+                    'eval-ckpt')
+        out['axis_ckpt'] = parse_stats(s)
+        flush()
 
     # 3. bf16 engine export + eval (fixed-size letterbox path)
-    eng = os.path.join(work, 'axis.engine')
-    run_cli(['export', ckpt, eng, '--size', esize,
-             '--dynamic-batch-opts', 1, 8, 8], 'export-bf16')
-    s = run_cli(['infer', eng, '--images', img, '--annotations', ann,
-                 '--batch', 8], 'eval-engine')
-    out['axis_engine'] = parse_stats(s)
+    if 'axis_engine' not in out:
+        eng = os.path.join(work, 'axis.engine')
+        run_cli(['export', ckpt, eng, '--size', esize,
+                 '--dynamic-batch-opts', 1, 8, 8], 'export-bf16')
+        s = run_cli(['infer', eng, '--images', img, '--annotations', ann,
+                     '--batch', 8], 'eval-engine')
+        out['axis_engine'] = parse_stats(s)
+        flush()
 
     # 4. INT8 absmax vs percentile calibration (csrc/calibrator.h
     #    entropy-grade comparison point: two engines, two APs)
     for tag, extra in (('int8_absmax', []),
                        ('int8_p999', ['--calibration-percentile', 99.9])):
+        if tag in out:
+            continue
         eng8 = os.path.join(work, f'{tag}.engine')
         run_cli(['export', ckpt, eng8, '--size', esize, '--int8',
                  '--calibration-images', img, '--calibration-batches', 4,
@@ -131,22 +155,31 @@ def main():
         s = run_cli(['infer', eng8, '--images', img, '--annotations', ann,
                      '--batch', 8], f'eval-{tag}')
         out[tag] = parse_stats(s)
+        flush()
 
     # 5. rotated fine-tune from the axis checkpoint (the reference's
-    #    rotated recipe: TRAINING.md "--fine-tune" + --rotated-bbox)
-    rckpt = os.path.join(work, 'rotated.ckpt')
-    run_cli(['train', rckpt, '--backbone', 'ResNet18FPN',
-             '--images', rimg, '--annotations', rann, '--rotated-bbox',
-             '--fine-tune', ckpt, '--iters', args.rotated_iters] + common,
-            'train-rotated')
-    s = run_cli(['infer', rckpt, '--images', rimg, '--annotations', rann,
-                 '--rotated-bbox', '--batch', 8, '--resize', res,
-                 '--max-size', mx], 'eval-rotated')
-    out['rotated_ckpt'] = parse_stats(s)
+    #    rotated recipe: TRAINING.md "--fine-tune" + --rotated-bbox).
+    #    --clip-grads 25: early rotated fine-tune gradients spike into
+    #    the hundreds (the fresh 6-delta box head starts at the -4.59
+    #    prior bias, box loss ~28); the reference's AMP GradScaler
+    #    absorbed those spikes by skipping fp16-overflow steps, and
+    #    without an equivalent the run explodes ~iter 150 (measured:
+    #    base nan@174, clip25 clean and faster-converging than either).
+    if 'rotated_ckpt' not in out:
+        rckpt = os.path.join(work, 'rotated.ckpt')
+        run_cli(['train', rckpt, '--backbone', 'ResNet18FPN',
+                 '--images', rimg, '--annotations', rann, '--rotated-bbox',
+                 '--fine-tune', ckpt, '--clip-grads', 25,
+                 '--iters', args.rotated_iters] + common,
+                'train-rotated')
+        s = run_cli(['infer', rckpt, '--images', rimg, '--annotations', rann,
+                     '--rotated-bbox', '--batch', 8, '--resize', res,
+                     '--max-size', mx], 'eval-rotated')
+        out['rotated_ckpt'] = parse_stats(s)
+        flush()
 
     out['total_seconds'] = round(time.time() - t_all, 1)
-    with open(args.out, 'w') as f:
-        json.dump(out, f, indent=1)
+    flush()
     print(json.dumps({k: (v.get('ap') if isinstance(v, dict) else v)
                       for k, v in out.items() if k != 'recipe'}))
     print('wrote', args.out)
