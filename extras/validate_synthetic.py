@@ -49,6 +49,20 @@ def run_cli(args, label):
     return p.stdout
 
 
+def trained_through(ckpt, iters):
+    """True if ckpt exists and its recorded iteration >= iters (safe to
+    reuse: checkpoint writes are atomic), so an eval-leg backend error
+    doesn't force a 35-min retrain on resume."""
+    if not os.path.isfile(ckpt):
+        return False
+    try:
+        sys.path.insert(0, ROOT)
+        from odtk_tpu.io.checkpoint import peek_iteration
+        return peek_iteration(ckpt) >= iters
+    except Exception:
+        return False
+
+
 def parse_stats(stdout):
     """The 12 verbose evaluator lines ' AP@[.50:.95]   = 0.955' etc."""
     vals = re.findall(r'^\s+A[PR][ @].*=\s*([-\d.]+)\s*$', stdout, re.M)
@@ -167,11 +181,16 @@ def main():
     #    base nan@174, clip25 clean and faster-converging than either).
     if 'rotated_ckpt' not in out:
         rckpt = os.path.join(work, 'rotated.ckpt')
-        run_cli(['train', rckpt, '--backbone', 'ResNet18FPN',
-                 '--images', rimg, '--annotations', rann, '--rotated-bbox',
-                 '--fine-tune', ckpt, '--clip-grads', 25,
-                 '--iters', args.rotated_iters] + common,
-                'train-rotated')
+        if trained_through(rckpt, args.rotated_iters):
+            print(f'==> [train-rotated] reusing {rckpt} '
+                  f'(already at iteration >= {args.rotated_iters})', flush=True)
+        else:
+            run_cli(['train', rckpt, '--backbone', 'ResNet18FPN',
+                     '--images', rimg, '--annotations', rann,
+                     '--rotated-bbox',
+                     '--fine-tune', ckpt, '--clip-grads', 25,
+                     '--iters', args.rotated_iters] + common,
+                    'train-rotated')
         s = run_cli(['infer', rckpt, '--images', rimg, '--annotations', rann,
                      '--rotated-bbox', '--batch', 8, '--resize', res,
                      '--max-size', mx], 'eval-rotated')

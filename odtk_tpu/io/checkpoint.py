@@ -140,6 +140,19 @@ def load(filename, rotated_bbox=False, dtype=None):
     return model, state
 
 
+def peek_iteration(filename):
+    """Read just the recorded training iteration from a checkpoint
+    (0 if absent), without building the model."""
+    if _is_torch_format(filename):
+        import torch
+        checkpoint = torch.load(filename, map_location='cpu',
+                                weights_only=False)
+    else:
+        with open(filename, 'rb') as f:
+            checkpoint = serialization.msgpack_restore(f.read())
+    return int(checkpoint.get('iteration', 0))
+
+
 def restore_opt_state(blob, template):
     """Deserialize an optimizer-state blob against an optax template.
 
