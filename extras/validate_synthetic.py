@@ -155,6 +155,17 @@ def main():
         out['axis_engine'] = parse_stats(s)
         flush()
 
+    # 3b. checkpoint eval at the ENGINE's letterbox geometry: the
+    #     apples-to-apples export-losslessness check. axis_ckpt (native
+    #     multi-scale) vs axis_engine differ mostly by input scale;
+    #     this leg isolates the export path itself (expected delta ~0).
+    if 'axis_ckpt_at_engine_scale' not in out:
+        s = run_cli(['infer', ckpt, '--images', img, '--annotations', ann,
+                     '--batch', 8, '--fixed-size', esize],
+                    'eval-ckpt-engine-scale')
+        out['axis_ckpt_at_engine_scale'] = parse_stats(s)
+        flush()
+
     # 4. INT8 absmax vs percentile calibration (csrc/calibrator.h
     #    entropy-grade comparison point: two engines, two APs)
     for tag, extra in (('int8_absmax', []),

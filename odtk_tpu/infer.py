@@ -23,7 +23,7 @@ from .utils import Profiler, rotate_box
 def infer(model, path, detections_file, resize, max_size, batch_size,
           mixed_precision=True, is_master=True, world=0, annotations=None,
           is_validation=False, verbose=True, rotated_bbox=False,
-          use_dali=False, max_det=None):
+          use_dali=False, max_det=None, fixed_size=None):
     'Run inference on images from path'
     del use_dali
     import jax.numpy as jnp
@@ -35,10 +35,13 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
     is_master = rank == 0
     stride = model.stride
 
-    fixed_size = None
     if backend == 'engine':
         # AOT engines are compiled for a fixed input size (infer.py:34)
         fixed_size = model.input_size
+        max_size = max(fixed_size)
+    elif fixed_size is not None:
+        # checkpoint eval at an engine's letterbox geometry (--fixed-size):
+        # apples-to-apples ckpt-vs-engine AP at the same input scale
         max_size = max(fixed_size)
 
     if verbose:

@@ -185,6 +185,13 @@ def parse(args):
                               default=None,
                               help='max detections per image (checkpoint '
                                    'inference only)')
+    parser_infer.add_argument('--fixed-size', metavar='height width',
+                              type=int, nargs='+', default=None,
+                              help='letterbox inputs to a fixed canvas like '
+                                   'an engine would (checkpoint inference '
+                                   'only: one value for square, or height '
+                                   'width) — for ckpt-vs-engine AP at '
+                                   'matched scale')
     _add_fused_stem_flag(parser_infer)
 
     parser_export = subparsers.add_parser(
@@ -375,11 +382,15 @@ def run(args, model, state):
                 model.threshold = args.threshold
             if args.detections is not None:
                 model.detections = args.detections
+        fixed_size = args.fixed_size
+        if fixed_size is not None:
+            fixed_size = tuple(fixed_size * 2 if len(fixed_size) == 1
+                               else fixed_size[:2])
         infer_mod.infer(
             model, args.images, args.output, args.resize, args.max_size,
             args.batch, annotations=args.annotations,
             mixed_precision=not args.full_precision, verbose=True,
-            rotated_bbox=args.rotated_bbox)
+            rotated_bbox=args.rotated_bbox, fixed_size=fixed_size)
 
     elif args.command == 'export':
         input_size = args.size * 2 if len(args.size) == 1 else args.size

@@ -106,3 +106,13 @@ def test_infer_postprocessing_flags():
     assert a.threshold == 0.2 and a.detections == 50
     a = parse(['infer', 'm.ckpt'])
     assert a.threshold is None and a.detections is None
+
+
+def test_infer_fixed_size_flag():
+    # one value -> square canvas; two -> (H, W); absent -> None
+    a = parse(['infer', 'm.ckpt', '--fixed-size', '448'])
+    assert a.fixed_size == [448]
+    a = parse(['infer', 'm.ckpt', '--fixed-size', '384', '512'])
+    assert a.fixed_size == [384, 512]
+    a = parse(['infer', 'm.ckpt'])
+    assert a.fixed_size is None

@@ -213,3 +213,17 @@ def test_train_divergence_guard(dataset, monkeypatch):
               batch_size=2, iterations=1, val_iterations=0, lr=1e-3,
               warmup=0, milestones=[], gamma=0.1, mixed_precision=False,
               verbose=False)
+
+
+def test_infer_fixed_size_letterbox(dataset, capsys):
+    """--fixed-size on the jax backend letterboxes like an engine:
+    the forward must see the exact (H, W) canvas regardless of image
+    aspect, so ckpt-vs-engine AP comparisons share one geometry."""
+    root, img_dir, ann = dataset
+    m = small_model()
+    out = os.path.join(root, 'det_fixed.json')
+    stats = infer(m, img_dir, [out], 64, 128, 2, annotations=ann,
+                  mixed_precision=False, verbose=False,
+                  fixed_size=(96, 160))
+    assert stats is None  # untrained prior-init model: no detections
+    assert 'No detections!' in capsys.readouterr().out
