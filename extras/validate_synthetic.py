@@ -166,10 +166,12 @@ def main():
         out['axis_ckpt_at_engine_scale'] = parse_stats(s)
         flush()
 
-    # 4. INT8 absmax vs percentile calibration (csrc/calibrator.h
-    #    entropy-grade comparison point: two engines, two APs)
+    # 4. INT8 calibration-method comparison: absmax vs percentile vs
+    #    KL-entropy (the actual csrc/calibrator.h:107-168 rule) —
+    #    three engines, three APs on record
     for tag, extra in (('int8_absmax', []),
-                       ('int8_p999', ['--calibration-percentile', 99.9])):
+                       ('int8_p999', ['--calibration-percentile', 99.9]),
+                       ('int8_entropy', ['--calibration-entropy'])):
         if tag in out:
             continue
         eng8 = os.path.join(work, f'{tag}.engine')

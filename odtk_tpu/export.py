@@ -52,7 +52,7 @@ def _aot_export(model, size, batch, platforms=None):
 def export_model(model, size, batch=1, precision='bf16', path=None,
                  dynamic_batch_opts=None, calibration_files=None,
                  calibration_table=None, calibration_percentile=None,
-                 platforms=None, verbose=False):
+                 calibration_entropy=False, platforms=None, verbose=False):
     """Export a Model to an Engine package (or StableHLO).
 
     size: (H, W) fixed input size. dynamic_batch_opts: (min, opt, max)
@@ -87,6 +87,7 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
         scale_table = calibrate(model, size, calibration_files,
                                 calibration_table,
                                 percentile=calibration_percentile,
+                                entropy=calibration_entropy,
                                 verbose=verbose)
         from .quantize import build_quant_variables
         model.variables, qstats = build_quant_variables(
@@ -136,19 +137,27 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
 
 
 def calibrate(model, size, calibration_files, calibration_table=None,
-              batches=2, percentile=None, verbose=False):
+              batches=2, percentile=None, entropy=False, verbose=False):
     """INT8 PTQ calibration: per-conv-layer input ranges over
     calibration images, persisted as a reusable named table
     (the Int8EntropyCalibrator cache behavior, calibrator.h:130-156).
 
-    percentile=None records absmax (conservative, clip-free);
-    percentile=99.9 records the 99.9th percentile of |input| per layer
-    — the outlier-robust option toward TRT's entropy thresholds
-    (calibrator.h:107-168). The table body maps each conv layer's
-    module path to its clipping threshold; engine build turns these
-    into int8 activation scales (quantize.build_quant_variables)."""
+    Three methods for each layer's clipping threshold:
+      * absmax (percentile=None) — exact |input| max, clip-free and
+        conservative (one outlier stretches the whole int8 grid);
+      * percentile=99.9 — that percentile of |input| per image,
+        max-merged across the set: outlier-robust middle ground;
+      * entropy=True — TRT's IInt8EntropyCalibrator2 rule
+        (calibrator.h:107-168): two passes, first absmax to fix each
+        layer's histogram span, then 2048-bin |input| histograms
+        accumulated across the whole calibration set, and the KL-
+        divergence-minimizing clip point per layer.
+    The table body maps each conv layer's module path to its clipping
+    threshold; engine build turns these into int8 activation scales
+    (quantize.build_quant_variables)."""
     name = '_'.join(model.backbones)
-    suffix = f'_p{percentile:g}' if percentile is not None else ''
+    suffix = '_entropy' if entropy else (
+        f'_p{percentile:g}' if percentile is not None else '')
     table_name = (calibration_table or
                   f'Int8CalibrationTable_{name}{size[0]}x{size[1]}'
                   f'_{batches}{suffix}')
@@ -165,18 +174,30 @@ def calibrate(model, size, calibration_files, calibration_table=None,
     files = list(calibration_files or [])[:batches * 8]
     if not files:
         raise RuntimeError('No calibration images found')
-    absmax = {}
+    arrays, absmax = [], {}
     for fp in files:
         im = Image.open(fp).convert('RGB').resize((size[1], size[0]),
                                                   Image.BILINEAR)
         arr = (np.asarray(im, np.float32) / 255.0 - IMAGENET_MEAN) \
             / IMAGENET_STD
-        tree = capture_activation_absmax(model, jnp.asarray(arr[None]),
-                                         percentile=percentile)
+        arrays.append(arr)
+        tree = capture_activation_absmax(
+            model, jnp.asarray(arr[None]),
+            percentile=None if entropy else percentile)
         absmax = merge_absmax(absmax, flatten_absmax(tree))
+    method = 'absmax' if percentile is None else f'percentile{percentile:g}'
+    if entropy:
+        from .quantize import (capture_activation_hist, flatten_hist,
+                               merge_hist, entropy_thresholds)
+        hists = {}
+        for arr in arrays:
+            tree = capture_activation_hist(model, jnp.asarray(arr[None]),
+                                           absmax)
+            hists = merge_hist(hists, flatten_hist(tree))
+        absmax = entropy_thresholds(hists, absmax)
+        method = 'entropy'
     table = {'version': 2, 'net': name, 'size': list(size),
-             'method': ('absmax' if percentile is None
-                        else f'percentile{percentile:g}'),
+             'method': method,
              'act_absmax': absmax}
     with open(table_name, 'w') as f:
         json.dump(table, f)

@@ -222,6 +222,12 @@ def parse(args):
                                     'percentile of |input| (e.g. 99.9) '
                                     'instead of absmax — outlier-robust '
                                     'INT8 scales')
+    parser_export.add_argument('--calibration-entropy', action='store_true',
+                               help='pick each layer\'s INT8 clipping '
+                                    'threshold by KL-divergence over '
+                                    'activation histograms (the TensorRT '
+                                    'IInt8EntropyCalibrator2 rule) instead '
+                                    'of absmax')
     parser_export.add_argument('--verbose', help='print export progress',
                                action='store_true')
     parser_export.add_argument('--rotated-bbox', action='store_true',
@@ -426,7 +432,8 @@ def run(args, model, state):
             model.export(input_size, args.dynamic_batch_opts, precision,
                          calibration_files, args.calibration_table,
                          args.verbose, path=args.export,
-                         calibration_percentile=args.calibration_percentile)
+                         calibration_percentile=args.calibration_percentile,
+                         calibration_entropy=args.calibration_entropy)
 
 
 def main(args=None):

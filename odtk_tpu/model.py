@@ -424,7 +424,8 @@ class Model:
     # ------------------------------------------------------------ export
     def export(self, size, dynamic_batch_opts=None, precision='bf16',
                calibration_files=None, calibration_table=None,
-               verbose=False, path=None, calibration_percentile=None):
+               verbose=False, path=None, calibration_percentile=None,
+               calibration_entropy=False):
         """AOT-export (reference surface: model.py:260-305)."""
         from . import export as export_mod
         return export_mod.export_model(
@@ -433,4 +434,5 @@ class Model:
             calibration_files=calibration_files,
             calibration_table=calibration_table,
             calibration_percentile=calibration_percentile,
+            calibration_entropy=calibration_entropy,
             verbose=verbose)

@@ -84,14 +84,14 @@ def capture_activation_absmax(model, images, percentile=None):
     return jax.device_get(run(model.variables, images))
 
 
-def flatten_absmax(calib_tree):
-    """Nested calib tree -> {'a/b/c': float} (JSON-friendly table body)."""
+def _flatten(calib_tree, leaf_name, to=float):
+    """Nested calib tree -> {'a/b/c': value} (JSON-friendly table body)."""
     out = {}
 
     def walk(node, path):
         for k, v in node.items():
-            if k == 'in_absmax':
-                out['/'.join(path)] = float(np.asarray(v))
+            if k == leaf_name:
+                out['/'.join(path)] = to(np.asarray(v))
             else:
                 walk(v, path + [k])
 
@@ -99,9 +99,126 @@ def flatten_absmax(calib_tree):
     return out
 
 
+def flatten_absmax(calib_tree):
+    return _flatten(calib_tree, 'in_absmax')
+
+
 def merge_absmax(a, b):
     """Running max of two flat absmax tables."""
     return {k: max(a.get(k, 0.0), b.get(k, 0.0)) for k in set(a) | set(b)}
+
+
+# --------------------------------------------- entropy (KL) calibration
+
+HIST_BINS = 2048      # raw |input| histogram resolution (calibrator.h
+                      # keeps TRT's default 2048-bin legacy histogram)
+QUANT_BINS = 128      # int8 positive levels
+
+
+def capture_activation_hist(model, images, absmax, nbins=HIST_BINS):
+    """Histogram of |input| per QuantConv for one batch: nested dict
+    with ``in_hist`` leaves ([nbins] fp32 counts over [0, absmax]).
+
+    Second pass of entropy calibration (first pass =
+    capture_activation_absmax fixes each layer's histogram span, so
+    counts from every calibration image land in comparable bins —
+    the same two-phase shape as TRT's histogram calibrators). Counts
+    merge across batches by addition (sow reduce_fn), and across
+    images by merge_hist."""
+    from .backbones.layers import QuantConv
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (context.method_name == '__call__'
+                and isinstance(context.module, QuantConv)):
+            key = '/'.join(context.module.path)
+            amax = float(absmax.get(key, 0.0))
+            if amax > 0.0:
+                a = jnp.abs(args[0].astype(jnp.float32)).ravel()
+                idx = jnp.clip((a * (nbins / amax)).astype(jnp.int32),
+                               0, nbins - 1)
+                counts = jnp.zeros((nbins,), jnp.float32).at[idx].add(1.0)
+                context.module.sow(
+                    'calib', 'in_hist', counts, reduce_fn=jnp.add,
+                    init_fn=lambda: jnp.zeros((nbins,), jnp.float32))
+        return next_fun(*args, **kwargs)
+
+    @jax.jit
+    def run(variables, images):
+        with nn.intercept_methods(interceptor):
+            _, col = model.module.apply(variables, images,
+                                        mutable=['calib'])
+        return col['calib']
+
+    return jax.device_get(run(model.variables, images))
+
+
+def flatten_hist(calib_tree):
+    return _flatten(calib_tree, 'in_hist',
+                    to=lambda a: np.asarray(a, np.float64))
+
+
+def merge_hist(a, b):
+    """Elementwise-add two flat histogram tables."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out[k] + v if k in out else v
+    return out
+
+
+def entropy_threshold(hist, bin_width, target_bins=QUANT_BINS):
+    """KL-optimal clipping threshold for one layer's |input| histogram —
+    the TRT IInt8EntropyCalibrator2 selection rule (calibrator.h:107-168;
+    NVIDIA's published 8-bit KL-calibration sweep): for every candidate
+    clip point i >= target_bins, fold the outlier mass into the last
+    kept bin (P), resample the kept bins to target_bins int8 levels and
+    expand back over P's support (Q), and keep the i minimizing
+    KL(P||Q). Returns the threshold in input units (i * bin_width)."""
+    hist = np.asarray(hist, np.float64)
+    n = len(hist)
+    total = hist.sum()
+    if total <= 0 or n <= target_bins:
+        return n * bin_width
+    best_kl, best_i = np.inf, n
+    nz = hist > 0
+    for i in range(target_bins, n + 1):
+        p = hist[:i].copy()
+        p[i - 1] += hist[i:].sum()          # clip: outliers -> edge bin
+        psum = p.sum()
+        if psum <= 0:
+            continue
+        group = np.arange(i) * target_bins // i
+        q_counts = np.bincount(group, weights=hist[:i],
+                               minlength=target_bins)
+        nz_per_group = np.bincount(group, weights=nz[:i].astype(np.float64),
+                                   minlength=target_bins)
+        # expand each quantized level uniformly over its nonzero support
+        expand = np.zeros(i)
+        support = nz[:i] & (nz_per_group[group] > 0)
+        ratio = np.divide(q_counts[group], nz_per_group[group],
+                          out=np.zeros(i), where=nz_per_group[group] > 0)
+        expand[support] = ratio[support]
+        mask = p > 0
+        if (expand[mask] == 0).any():
+            # P has mass where Q has none (outliers folded onto an
+            # empty edge bin): infinite KL, skip this clip point
+            continue
+        pm, qm = p[mask] / psum, expand[mask] / expand.sum()
+        kl = float(np.sum(pm * np.log(pm / qm)))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return best_i * bin_width
+
+
+def entropy_thresholds(hist_table, absmax_table, nbins=HIST_BINS):
+    """Per-layer KL thresholds: {'path': threshold} in input units."""
+    out = {}
+    for key, amax in absmax_table.items():
+        hist = hist_table.get(key)
+        if hist is None or amax <= 0:
+            out[key] = amax
+        else:
+            out[key] = float(entropy_threshold(hist, amax / nbins))
+    return out
 
 
 # ------------------------------------------------------- engine variables

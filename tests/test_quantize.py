@@ -169,3 +169,62 @@ def test_percentile_calibration(tmp_path):
     out = np.asarray(m.heads_fn(qvars, x)[0][0])
     assert np.isfinite(out).all()
     assert np.abs(out - ref).mean() < 2e-2
+
+
+def test_entropy_threshold_clips_outliers():
+    """KL sweep on a gaussian bulk + far outliers picks a threshold
+    well inside absmax (covering the bulk), and leaves near-uniform
+    histograms essentially unclipped."""
+    from odtk_tpu.quantize import entropy_threshold
+    rng = np.random.RandomState(0)
+    amax, nbins = 10.0, 2048
+    bw = amax / nbins
+    # bulk sigma=0.5 plus 0.01% outliers near amax
+    bulk = np.abs(rng.randn(500000)) * 0.5
+    outl = rng.uniform(9.0, 10.0, 50)
+    hist = np.histogram(np.concatenate([bulk, outl]),
+                        bins=nbins, range=(0, amax))[0]
+    t = entropy_threshold(hist, bw)
+    assert 1.0 < t < 6.0, t          # covers the bulk, clips the tail
+    # uniform distribution: clipping only destroys information
+    uhist = np.full(nbins, 100.0)
+    tu = entropy_threshold(uhist, bw)
+    assert tu > 0.9 * amax, tu
+    # degenerate: empty histogram -> full range
+    assert entropy_threshold(np.zeros(nbins), bw) == amax
+
+
+def test_entropy_calibration_table(tmp_path):
+    """--calibration-entropy: thresholds are <= absmax with at least
+    one layer genuinely clipped, table records the method, and the
+    entropy-calibrated model still infers close to fp32."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import make_dataset
+    from odtk_tpu.export import calibrate
+    from odtk_tpu.quantize import build_quant_variables
+
+    img_dir, _ = make_dataset(str(tmp_path), n_images=2, size=(96, 96))
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(96, 96))
+    t_max = calibrate(m, (96, 96), files,
+                      calibration_table=str(tmp_path / 'absmax.json'))
+    t_ent = calibrate(m, (96, 96), files, entropy=True,
+                      calibration_table=str(tmp_path / 'entropy.json'))
+    assert t_ent['method'] == 'entropy'
+    assert set(t_ent['act_absmax']) == set(t_max['act_absmax'])
+    for k, v in t_ent['act_absmax'].items():
+        assert 0 < v <= t_max['act_absmax'][k] * (1 + 1e-6), k
+    assert any(t_ent['act_absmax'][k] < t_max['act_absmax'][k] * 0.999
+               for k in t_ent['act_absmax'])
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 96, 96, 3).astype(np.float32))
+    ref = np.asarray(m.heads_fn(m.variables, x)[0][0])
+    qvars, _ = build_quant_variables(m.variables, t_ent['act_absmax'],
+                                     mode='w8a8')
+    out = np.asarray(m.heads_fn(qvars, x)[0][0])
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).mean() < 2e-2
