@@ -76,6 +76,8 @@ def export_model(model, size, batch=1, precision='bf16', path=None,
     # process would otherwise bake a shard_map over the (stale) training
     # mesh into the serialized graph
     model.set_spmd_mesh(None)
+    if getattr(model, 'wpack_auto', False):
+        model.set_wpack_layer1(False)   # auto policy: unpacked for serving
     if precision in ('bf16', 'FP16'):
         model.set_dtype(jnp.bfloat16)
     elif precision in ('fp32', 'FP32'):
@@ -224,6 +226,8 @@ def export_cpp_engine(model, size, batch=1, path='model.cppengine',
         size = (size, size)
     size = tuple(-(-s // model.stride) * model.stride for s in size)
     model.set_spmd_mesh(None)    # never bake a stale training mesh
+    if getattr(model, 'wpack_auto', False):
+        model.set_wpack_layer1(False)   # auto policy: unpacked for serving
     if precision in ('bf16', 'FP16'):
         model.set_dtype(jnp.bfloat16)
 

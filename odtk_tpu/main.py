@@ -263,6 +263,12 @@ def _add_fused_stem_flag(subparser):
                            default=None, dest='fused_stem',
                            help='toggle the fused space-to-depth ResNet stem '
                                 '(default: on)')
+    subparser.add_argument('--wpack-layer1',
+                           action=argparse.BooleanOptionalAction,
+                           default=None, dest='wpack_layer1',
+                           help='pin width-pair-packed layer1 on/off for '
+                                'every graph (default: auto — packed for '
+                                'training, unpacked for inference/export)')
 
 
 CHECKPOINT_EXTS = ('.pth', '.torch', '.ckpt')
@@ -346,6 +352,8 @@ def run(args, model, state):
 
     if model is not None and getattr(args, 'fused_stem', None) is not None:
         model.set_fused_stem(args.fused_stem)
+    if model is not None and getattr(args, 'wpack_layer1', None) is not None:
+        model.set_wpack_layer1(args.wpack_layer1, pin=True)
 
     # compat no-op flags: accepted for reference command-line parity but
     # semantically inert here — say so once instead of silently eating them

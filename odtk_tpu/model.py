@@ -153,9 +153,17 @@ class Model:
         # (setting it after `import odtk_tpu` works as expected).
         self.fused_stem = bool(config.get(
             'fused_stem', os.environ.get('ODTK_FUSED_STEM', '1') != '0'))
-        # width-pair-packed layer1 (same construction-time pattern)
-        self.wpack_layer1 = bool(config.get(
-            'wpack_layer1', os.environ.get('ODTK_WPACK_LAYER1', '0') != '0'))
+        # width-pair-packed layer1 (backbones.layers.wpack_kernel).
+        # Default 'auto': ON in the training graph (65.3 vs 67.4 ms
+        # b=8 @832 v5e, extras/bench_wpack.py), OFF for inference and
+        # export (3.94 vs 4.01 ms b=1 @800 — single-image convs don't
+        # amortize the doubled FLOPs). make_train_step/export apply the
+        # policy; config/env True/False pins one choice for every graph.
+        raw = config.get('wpack_layer1',
+                         os.environ.get('ODTK_WPACK_LAYER1', 'auto'))
+        self.wpack_auto = raw in ('auto', None)
+        self.wpack_layer1 = (False if self.wpack_auto
+                             else raw not in (False, 0, '0', 'off'))
 
         self.stride = 128            # padding stride (fpn.py:17)
         self.dtype = dtype
@@ -210,9 +218,13 @@ class Model:
             self._rebuild_module()
         return self
 
-    def set_wpack_layer1(self, wpack_layer1):
+    def set_wpack_layer1(self, wpack_layer1, pin=False):
         """Toggle width-pair-packed layer1 (runtime perf knob;
-        parameters and checkpoints are identical either way)."""
+        parameters and checkpoints are identical either way).
+        pin=True also disables the 'auto' train-on/infer-off policy so
+        an explicit CLI/user choice can't be overridden later."""
+        if pin:
+            self.wpack_auto = False
         if bool(wpack_layer1) != self.wpack_layer1:
             self.wpack_layer1 = bool(wpack_layer1)
             self._rebuild_module()

@@ -112,6 +112,11 @@ def make_train_step(model, tx, mesh):
     # by GSPMD; hand the mesh to the model so it wraps them in shard_map
     model._loss_mesh = mesh if mesh.size > 1 else None
     model.set_spmd_mesh(mesh)
+    # wpack 'auto' policy: pack layer1 to full MXU lane width in the
+    # training graph only (65.3 vs 67.4 ms b=8 @832; b=1 inference
+    # prefers the unpacked form — see Model.__init__)
+    if getattr(model, 'wpack_auto', False):
+        model.set_wpack_layer1(True)
 
     def step(params, opt_state, frozen, images, targets):
         def loss_fn(p):

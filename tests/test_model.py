@@ -153,3 +153,63 @@ def test_cli_fused_stem_flag_parses():
     assert args.fused_stem is True
     args = parse(['export', 'ckpt.pth', 'out.engine'])
     assert args.fused_stem is None
+
+
+def test_wpack_auto_policy():
+    """wpack_layer1 defaults to 'auto': unpacked at construction (the
+    inference/export graphs), packed by make_train_step (65.3 vs
+    67.4 ms b=8 @832 on v5e), unpacked again by export; an explicit
+    config or pinned set_wpack_layer1 disables the policy."""
+    import jax
+    import optax  # noqa: F401 — train imports it
+    from odtk_tpu.model import Model
+    from odtk_tpu.train import make_optimizer, make_train_step
+    from odtk_tpu.parallel import make_mesh
+
+    m = Model(backbones='ResNet18FPN', classes=3)
+    assert m.wpack_auto and not m.wpack_layer1
+    assert not m.module.wpack_layer1
+
+    m.initialize(rng=0, image_size=(128, 128))
+    tx = make_optimizer(lr=0.01, warmup=0, milestones=[], gamma=0.1)
+    make_train_step(m, tx, make_mesh(jax.devices()[:1]))
+    assert m.wpack_layer1 and m.module.wpack_layer1
+
+    # export clears it (never bake the packed layer1 into an engine)
+    import jax.numpy as jnp
+    from odtk_tpu.export import export_model
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        export_model(m, size=128, batch=1, precision='bf16',
+                     path=os.path.join(d, 'e.engine'))
+    assert not m.wpack_layer1 and not m.module.wpack_layer1
+
+    # explicit config pins the choice; the policy never overrides it
+    m_pin = Model(backbones='ResNet18FPN', classes=3,
+                  config={'wpack_layer1': True})
+    assert not m_pin.wpack_auto and m_pin.wpack_layer1
+    m_off = Model(backbones='ResNet18FPN', classes=3,
+                  config={'wpack_layer1': False})
+    m_off.initialize(rng=0, image_size=(128, 128))
+    assert not m_off.wpack_auto and not m_off.wpack_layer1
+    make_train_step(m_off, tx, make_mesh(jax.devices()[:1]))
+    assert not m_off.wpack_layer1
+
+    # pinned runtime toggle (the CLI path) also disables the policy
+    m2 = Model(backbones='ResNet18FPN', classes=3)
+    m2.set_wpack_layer1(False, pin=True)
+    m2.initialize(rng=0, image_size=(128, 128))
+    make_train_step(m2, tx, make_mesh(jax.devices()[:1]))
+    assert not m2.wpack_layer1
+
+
+def test_cli_wpack_flag_parses():
+    from odtk_tpu.main import parse
+
+    args = parse(['train', 'ckpt.pth', '--annotations', 'a.json',
+                  '--no-wpack-layer1'])
+    assert args.wpack_layer1 is False
+    args = parse(['infer', 'ckpt.pth', '--wpack-layer1'])
+    assert args.wpack_layer1 is True
+    args = parse(['export', 'ckpt.pth', 'out.engine'])
+    assert args.wpack_layer1 is None
