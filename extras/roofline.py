@@ -53,9 +53,12 @@ def make_stager(size, classes=80, anchors=9, rotated=False):
             return 'loss/assign'
         if f'{size},{size}' in s:
             return f'input({size})'
-        if f'{s2},{s2}' in s:
+        if f'{s2},{s2}' in s or f'{s2},{s4}' in s:
+            # s2,s4: merged-phase stem layout [B, H/2, W/4, 2C]
             return f'stem({s2})'
-        if f'{s4},{s4}' in s:
+        if f'{s4},{s4}' in s or f'{s4},{s8}' in s:
+            # s4,s8: width-pair-packed layer1 [B, H/4, W/8, 2C]
+            # (wpack auto policy packs layer1 in train graphs)
             return f'layer1({s4})'
         if f'{s8},{s8},256]' in s or f'{s8},{s8},{cls_ch}' in s \
                 or f'{s8},{s8},{box_ch}' in s:

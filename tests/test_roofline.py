@@ -50,6 +50,12 @@ def test_stage_classification_and_rates(tmp_path):
     # total padded anchor rows at 832: 104^2+52^2+26^2+13^2+7^2 = 14414
     assert stage('f', 'x = f32[8,14414,9] dot(...)') == 'loss/assign'
     assert stage('g', 'x = bf16[8,7,7,256] conv(...)') == 'p6/p7(13/7)'
+    # packed layouts: merged-phase stem [B,416,208,2C], width-pair-
+    # packed layer1 [B,208,104,2C] (wpack auto packs train graphs)
+    assert stage('fusion.4', 'x = bf16[8,416,208,128] conv(...)') \
+        == 'stem(416)'
+    assert stage('fusion.5', 'x = bf16[8,208,104,128] conv(...)') \
+        == 'layer1(208)'
 
     events = [
         _event('fusion.9', 1000.0, '%x = bf16[8,208,208,256] f(...)',
