@@ -47,29 +47,34 @@ def make_stager(size, classes=80, anchors=9, rotated=False):
     cls_ch = classes * anchors
     box_ch = (6 if rotated else 4) * anchors
 
+    def pair(a, b, s):
+        # anchored: '208,104' must be a full dim pair ([...208,104,...] or
+        # [...,208,104]), not a substring of e.g. [8,208,1040,...]
+        return re.search(rf'[\[,]{a},{b}[,\]]', s) is not None
+
     def stage(name, ln):
         s = name + ' ' + ln
         if 'jvp' in name or str(hw) in s:
             return 'loss/assign'
-        if f'{size},{size}' in s:
+        if pair(size, size, s):
             return f'input({size})'
-        if f'{s2},{s2}' in s or f'{s2},{s4}' in s:
+        if pair(s2, s2, s) or pair(s2, s4, s):
             # s2,s4: merged-phase stem layout [B, H/2, W/4, 2C]
             return f'stem({s2})'
-        if f'{s4},{s4}' in s or f'{s4},{s8}' in s:
+        if pair(s4, s4, s) or pair(s4, s8, s):
             # s4,s8: width-pair-packed layer1 [B, H/4, W/8, 2C]
             # (wpack auto policy packs layer1 in train graphs)
             return f'layer1({s4})'
         if f'{s8},{s8},256]' in s or f'{s8},{s8},{cls_ch}' in s \
                 or f'{s8},{s8},{box_ch}' in s:
             return f'p3/heads({s8})'
-        if f'{s8},{s8}' in s:
+        if pair(s8, s8, s):
             return f'layer2({s8})'
-        if f'{s16},{s16}' in s:
+        if pair(s16, s16, s):
             return f'layer3/p4({s16})'
-        if f'{s32},{s32}' in s:
+        if pair(s32, s32, s):
             return f'layer4/p5({s32})'
-        if f'{s64},{s64}' in s or f'{s128},{s128}' in s:
+        if pair(s64, s64, s) or pair(s128, s128, s):
             return f'p6/p7({s64}/{s128})'
         if re.match(r'^%?(multiply_add_fusion|copy_add_fusion)', name) or \
                 (re.search(r'=\s*\(f32\[', ln)
