@@ -100,11 +100,19 @@ def main():
     sys.path.insert(0, os.path.join(ROOT, 'tests'))
     from synth import make_dataset
 
+    # esize MUST be stride-aligned (128 for ResNet18FPN): export rounds
+    # unaligned sizes UP (export.py stride alignment), so an esize of 448
+    # builds a 512 engine while leg 3b evaluates the ckpt at 448 — the
+    # "losslessness check" then compares two different scales. That
+    # exact mismatch produced round 4's phantom 0.09 AP "export gap":
+    # ckpt re-evaluated at the engine's true 512 geometry scored 0.771
+    # vs engine 0.769 (the drop from 0.861@448 was scale sensitivity of
+    # a model trained at 320, not export loss).
     if args.quick:
         args.iters, args.rotated_iters = 50, 50
         n_im, size, res, mx, esize = 8, (160, 200), 128, 256, 256
     else:
-        n_im, size, res, mx, esize = 32, (320, 400), 320, 448, 448
+        n_im, size, res, mx, esize = 32, (320, 400), 320, 448, 512
     img, ann = make_dataset(work, n_images=n_im, size=size, max_boxes=3,
                             fmt='jpg', seed=11)
     rimg, rann = make_dataset(os.path.join(work, 'rot'), n_images=n_im,

@@ -114,6 +114,49 @@ def test_rotated_engine_roundtrip(tmp_path):
     np.testing.assert_allclose(b_e, np.asarray(b_j), atol=1e-4)
 
 
+def test_engine_pipeline_matches_ckpt_at_engine_geometry(tmp_path):
+    """The FULL eval pipelines — loader included — must agree: engine
+    eval vs jax eval with --fixed-size set to the ENGINE'S input_size
+    (not the size requested at export, which stride-rounding may have
+    changed). Round 4's phantom 0.09 AP 'export gap' was exactly this
+    harness mistake: export --size 448 built a 512 engine, the ckpt leg
+    evaluated at 448, and the scale mismatch read as export loss."""
+    import json
+    from odtk_tpu.infer import infer
+    from synth import make_dataset
+
+    img_dir, ann = make_dataset(str(tmp_path), n_images=2, size=(100, 120),
+                                max_boxes=2, seed=5)
+    # threshold 0 so even an untrained prior-init model emits detections
+    m = Model(backbones='ResNet18FPN', classes=3,
+              config={'threshold': 0.0, 'detections': 10})
+    m.initialize(rng=0, image_size=(128, 128))
+    path = str(tmp_path / 'm.engine')
+    # deliberately unaligned size: rounds up to 128
+    export_model(m, (100, 100), precision='fp32', path=path,
+                 dynamic_batch_opts=[1, 2, 2])
+    eng = Engine.load(path)
+    assert eng.input_size == (128, 128)
+
+    det_e = str(tmp_path / 'det_engine.json')
+    det_j = str(tmp_path / 'det_jax.json')
+    infer(eng, img_dir, [det_e], 64, 128, 2, annotations=ann,
+          verbose=False)
+    infer(m, img_dir, [det_j], 64, 128, 2, annotations=ann,
+          mixed_precision=False, verbose=False,
+          fixed_size=eng.input_size)
+    with open(det_e) as f:
+        de = json.load(f)['annotations']
+    with open(det_j) as f:
+        dj = json.load(f)['annotations']
+    assert len(de) == len(dj) > 0
+    for a, b in zip(de, dj):
+        assert a['image_id'] == b['image_id']
+        assert a['category_id'] == b['category_id']
+        np.testing.assert_allclose(a['score'], b['score'], atol=1e-5)
+        np.testing.assert_allclose(a['bbox'], b['bbox'], atol=1e-3)
+
+
 def test_engine_rejects_bad_magic(tmp_path):
     p = tmp_path / 'junk.engine'
     p.write_bytes(b'not an engine at all')
