@@ -91,20 +91,62 @@ void affine_params(int normalize, float* scale, float* offset) {
   }
 }
 
+// Bilinear resize RGB u8 -> RGB u8 at a row pitch. A bilinear blend of
+// u8 values is convex, so the result stays in [0,255] — round, no
+// clamp. This is the transfer-thin training feed: the device graph
+// does color-jitter+normalize as one fused [3x3]+offset op on u8
+// pixels, so the host ships 1/4 of the float bytes and skips the
+// jitter matmul entirely (loader 'u8' emit mode).
+void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                        int dh, int dw, int pitch_w) {
+  const float sy = static_cast<float>(sh) / dh;
+  const float sx = static_cast<float>(sw) / dw;
+  std::vector<int> xi0(dw), xi1(dw);
+  std::vector<float> xw(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    xw[x] = fx - x0;
+    xi1[x] = std::min(x0 + 1, sw - 1) * 3;
+    xi0[x] = std::max(x0, 0) * 3;
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y1 = std::min(y0 + 1, sh - 1);
+    y0 = std::max(y0, 0);
+    const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * pitch_w * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float wx = xw[x];
+      const uint8_t* p00 = row0 + xi0[x];
+      const uint8_t* p01 = row0 + xi1[x];
+      const uint8_t* p10 = row1 + xi0[x];
+      const uint8_t* p11 = row1 + xi1[x];
+      for (int c = 0; c < 3; ++c) {
+        float top = p00[c] + (p01[c] - p00[c]) * wx;
+        float bot = p10[c] + (p11[c] - p10[c]) * wx;
+        out[x * 3 + c] =
+            static_cast<uint8_t>(top + (bot - top) * wy + 0.5f);
+      }
+    }
+  }
+}
+
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode JPEG bytes, aspect-preserving resize (shorter side -> `resize`,
-// capped so the longer side <= max_size; same rule as odtk/data.py:57-60),
-// normalize, write float32 HWC into out (caller-allocated, padded
-// out_h_pad x out_w_pad x 3; regions beyond the image are zeroed).
-// Returns 0 on success. Outputs actual resized h/w and the scale ratio.
-int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
-                                      int resize, int max_size, float* out,
-                                      int out_h_pad, int out_w_pad,
-                                      int* out_h, int* out_w, float* ratio,
-                                      int normalize) {
+// Shared JPEG decode front-end: bytes -> RGB u8 buffer (DCT-prescaled
+// toward the target size) + prescaled dims + ORIGINAL dims (the resize
+// targets th/tw are int(ratio * original), bit-identical to the Python
+// resize_dims rule) + the aspect-preserving ratio.
+// Returns 0 on success, 1 on decode error, 2 on truncated stream.
+int decode_jpeg_rgb(const uint8_t* bytes, size_t len, int resize,
+                    int max_size, std::vector<uint8_t>* rgb, int* dec_h,
+                    int* dec_w, int* orig_h, int* orig_w, float* ratio) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -137,9 +179,9 @@ int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
 
   jpeg_start_decompress(&cinfo);
   int dw = cinfo.output_width, dh = cinfo.output_height;
-  std::vector<uint8_t> rgb(static_cast<size_t>(dw) * dh * 3);
+  rgb->resize(static_cast<size_t>(dw) * dh * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline)
+    uint8_t* row = rgb->data() + static_cast<size_t>(cinfo.output_scanline)
         * dw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
@@ -152,6 +194,36 @@ int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
   jpeg_destroy_decompress(&cinfo);
   if (num_warnings > 0) {
     return 2;
+  }
+  *dec_h = dh;
+  *dec_w = dw;
+  *orig_h = sh;
+  *orig_w = sw;
+  *ratio = r;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode JPEG bytes, aspect-preserving resize (shorter side -> `resize`,
+// capped so the longer side <= max_size; same rule as odtk/data.py:57-60),
+// normalize, write float32 HWC into out (caller-allocated, padded
+// out_h_pad x out_w_pad x 3; regions beyond the image are zeroed).
+// Returns 0 on success. Outputs actual resized h/w and the scale ratio.
+int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
+                                      int resize, int max_size, float* out,
+                                      int out_h_pad, int out_w_pad,
+                                      int* out_h, int* out_w, float* ratio,
+                                      int normalize) {
+  std::vector<uint8_t> rgb;
+  int dh, dw, sh, sw;
+  float r;
+  int rc = decode_jpeg_rgb(bytes, len, resize, max_size, &rgb, &dh, &dw,
+                           &sh, &sw, &r);
+  if (rc != 0) {
+    return rc;
   }
 
   int th = static_cast<int>(r * sh), tw = static_cast<int>(r * sw);
@@ -178,6 +250,51 @@ int odtk_decode_jpeg_resize_normalize(const uint8_t* bytes, size_t len,
   *out_h = th;
   *out_w = tw;
   *ratio = r;
+  return 0;
+}
+
+// u8 twin of the above: decode + aspect-preserving resize, u8 HWC
+// output at the padded pitch, margins zeroed, NO color math — the
+// jitter+normalize affine runs on-device (loader 'u8' emit mode ships
+// 1/4 of the float bytes over the host->device link).
+int odtk_decode_jpeg_resize_u8(const uint8_t* bytes, size_t len,
+                               int resize, int max_size, uint8_t* out,
+                               int out_h_pad, int out_w_pad, int* out_h,
+                               int* out_w, float* ratio) {
+  std::vector<uint8_t> rgb;
+  int dh, dw, sh, sw;
+  float r;
+  int rc = decode_jpeg_rgb(bytes, len, resize, max_size, &rgb, &dh, &dw,
+                           &sh, &sw, &r);
+  if (rc != 0) {
+    return rc;
+  }
+
+  int th = static_cast<int>(r * sh), tw = static_cast<int>(r * sw);
+  th = std::max(1, std::min(th, out_h_pad));
+  tw = std::max(1, std::min(tw, out_w_pad));
+
+  resize_bilinear_u8(rgb.data(), dh, dw, out, th, tw, out_w_pad);
+  if (tw < out_w_pad) {
+    for (int y = 0; y < th; ++y) {
+      std::memset(out + (static_cast<size_t>(y) * out_w_pad + tw) * 3, 0,
+                  static_cast<size_t>(out_w_pad - tw) * 3);
+    }
+  }
+  if (th < out_h_pad) {
+    std::memset(out + static_cast<size_t>(th) * out_w_pad * 3, 0,
+                static_cast<size_t>(out_h_pad - th) * out_w_pad * 3);
+  }
+  *out_h = th;
+  *out_w = tw;
+  *ratio = r;
+  return 0;
+}
+
+// u8 resize for non-JPEG sources on the u8 emit path.
+int odtk_resize_u8(const uint8_t* rgb, int h, int w, uint8_t* out,
+                   int out_h, int out_w) {
+  resize_bilinear_u8(rgb, h, w, out, out_h, out_w, out_w);
   return 0;
 }
 

@@ -123,35 +123,54 @@ def _color_jitter_normalize(arr, brightness, contrast, hue, saturation):
     and constants, so x4 = x0 @ (A*H) + B*g0[...,None] + C with
     A = fb*fc*fs, B = fb*fc*(1-fs), C = fb*(1-fc)*m0.
     """
-    fb = max(0.0, random.normalvariate(1, brightness)) if brightness else 1.0
-    fc = max(0.0, random.normalvariate(1, contrast)) if contrast else 1.0
-    fs = max(0.0, random.normalvariate(1, saturation)) if saturation else 1.0
-    fh = (float(np.clip(random.normalvariate(0, hue), -0.5, 0.5))
-          if hue else 0.0)
-
-    a = fb * fc * fs
-    b = fb * fc * (1.0 - fs)
+    fb, fc, fs, fh = _draw_jitter(brightness, contrast, hue, saturation)
     flat = arr.reshape(-1, 3)
-    c = 0.0
+    mgray01 = 0.0
     if fc != 1.0:
         # BLAS matvec + contiguous mean; a column-wise flat.mean(0)
         # reduce is ~10x slower than this at image sizes
-        c = fb * (1.0 - fc) * float((flat @ _GRAY).mean()) / 255.0
-
-    # gray blend g0[...,None]*b == x0 @ outer(_GRAY, b*ones): rank-1,
-    # so the whole chain is ONE [N,3]@[3,3] BLAS pass ...
-    t = _hue_matrix(fh) * a if fh else np.eye(3) * a
-    t = t + np.outer(_GRAY, np.full(3, b))
-    t = (t / (255.0 * IMAGENET_STD[None, :])).astype(np.float32)
+        mgray01 = float((flat @ _GRAY).mean()) / 255.0
+    t, off = color_affine(fb, fc, fs, fh, mgray01)
     out = flat @ t
     # ... plus per-column offset/clip — strided scalar ops beat numpy's
     # last-axis [3]-broadcast forms ~5x (3-element inner loop, no SIMD)
-    off = (c - IMAGENET_MEAN) / IMAGENET_STD
     for ch in range(3):
         col = out[:, ch]
         col += np.float32(off[ch])
         np.clip(col, _CLIP_LO[ch], _CLIP_HI[ch], out=col)
     return out.reshape(arr.shape)
+
+
+def _draw_jitter(brightness, contrast, hue, saturation):
+    """Per-image jitter factor draws (reference sampling, data.py:92-109)."""
+    fb = max(0.0, random.normalvariate(1, brightness)) if brightness else 1.0
+    fc = max(0.0, random.normalvariate(1, contrast)) if contrast else 1.0
+    fs = max(0.0, random.normalvariate(1, saturation)) if saturation else 1.0
+    fh = (float(np.clip(random.normalvariate(0, hue), -0.5, 0.5))
+          if hue else 0.0)
+    return fb, fc, fs, fh
+
+
+def color_affine(fb, fc, fs, fh, mgray01):
+    """The jitter+normalize chain as one affine: 0..255 RGB -> normalized.
+
+    Returns (t [3,3] f32, off [3] f32) with out = pixels @ t + off
+    (clip to [_CLIP_LO, _CLIP_HI] per channel completes the chain).
+    ``mgray01`` is the image's mean gray in [0,1] (only consulted when
+    fc != 1). Shared by the host float path (_color_jitter_normalize)
+    and the u8 emit mode, where the SAME (t, off) ships to the device
+    and the affine runs in-graph on u8 pixels — so both paths are the
+    same math by construction."""
+    a = fb * fc * fs
+    b = fb * fc * (1.0 - fs)
+    c = fb * (1.0 - fc) * mgray01
+    # gray blend g0[...,None]*b == x0 @ outer(_GRAY, b*ones): rank-1,
+    # so the whole chain is ONE [N,3]@[3,3] pass
+    t = _hue_matrix(fh) * a if fh else np.eye(3) * a
+    t = t + np.outer(_GRAY, np.full(3, b))
+    t = (t / (255.0 * IMAGENET_STD[None, :])).astype(np.float32)
+    off = ((c - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+    return t, off
 
 
 def _adjust_colors(arr, brightness, contrast, hue, saturation):
@@ -236,7 +255,13 @@ class CocoDataset:
                  training=False, rotate_augment=False, crop_augment=False,
                  augment_brightness=0.0,
                  augment_contrast=0.0, augment_hue=0.0, augment_saturation=0.0,
-                 absolute_angle=False, fixed_size=None):
+                 absolute_angle=False, fixed_size=None, emit='f32'):
+        # emit='u8' (training only): __getitem__ returns
+        # (u8 image, target, color_t [3,3], color_off [3]) — raw resized
+        # pixels plus the per-image jitter+normalize affine, which the
+        # train graph applies on-device (color_affine). 4x fewer bytes
+        # over the host->device link and no host jitter matmul.
+        self.emit = emit
         self.path = os.path.expanduser(path)
         self.resize = resize
         self.max_size = max_size
@@ -308,6 +333,51 @@ class CocoDataset:
                 return arr, ratio, normalize
         im = im.resize((tw, th), Image.BILINEAR)
         return np.asarray(im, np.float32), ratio, False
+
+    def _load_resized_u8(self, img_id, resize):
+        """Decode + aspect-preserving resize -> (uint8 [h,w,3], ratio).
+
+        The emit='u8' twin of _load_resized: raw pixels, no color math
+        (the per-image color affine runs on-device instead)."""
+        from . import native
+        name = self.coco.imgs[img_id]['file_name']
+        full = os.path.join(self.path, name)
+        if name.lower().endswith(('.jpg', '.jpeg')) and native.available():
+            with open(full, 'rb') as f:
+                data = f.read()
+            with Image.open(full) as probe:
+                w0, h0 = probe.size
+            rsz, msz = fit_resize_caps(w0, h0, resize, self.max_size,
+                                       self.fixed_size)
+            th, tw, _ = resize_dims(w0, h0, rsz, msz)
+            out = native.decode_jpeg_u8(data, rsz, msz, pad_to=(th, tw))
+            if out is not None:
+                arr, oh, ow, r = out
+                return arr, r
+        im = self._load_image(img_id)
+        w0, h0 = im.size
+        rsz, msz = fit_resize_caps(w0, h0, resize, self.max_size,
+                                   self.fixed_size)
+        th, tw, ratio = resize_dims(w0, h0, rsz, msz)
+        if native.available():
+            arr = native.resize_rgb_u8(np.asarray(im, np.uint8), th, tw)
+            if arr is not None:
+                return arr, ratio
+        im = im.resize((tw, th), Image.BILINEAR)
+        return np.asarray(im, np.uint8), ratio
+
+    def _draw_color_affine(self, arr_u8):
+        """Sample this image's jitter and fold it (with normalization)
+        into one (t, off) affine for on-device application."""
+        fb, fc, fs, fh = _draw_jitter(
+            self.augment_brightness, self.augment_contrast,
+            self.augment_hue, self.augment_saturation)
+        mgray01 = 0.0
+        if fc != 1.0:
+            # per-channel means then dot: equals mean(gray) by linearity
+            m = arr_u8.mean(axis=(0, 1), dtype=np.float64)
+            mgray01 = float(m @ _GRAY.astype(np.float64)) / 255.0
+        return color_affine(fb, fc, fs, fh, mgray01)
 
     def _get_target(self, img_id):
         boxes, categories = [], []
@@ -392,12 +462,19 @@ class CocoDataset:
         th, tw, ratio = resize_dims(w0, h0, resize, self.max_size)
         from . import native
         arr = None
-        if native.available():
-            arr = native.resize_rgb(np.asarray(im, np.uint8), th, tw,
-                                    normalize=False)
-        if arr is None:
-            arr = np.asarray(im.resize((tw, th), Image.BILINEAR),
-                             np.float32)
+        if self.emit == 'u8':
+            if native.available():
+                arr = native.resize_rgb_u8(np.asarray(im, np.uint8), th, tw)
+            if arr is None:
+                arr = np.asarray(im.resize((tw, th), Image.BILINEAR),
+                                 np.uint8)
+        else:
+            if native.available():
+                arr = native.resize_rgb(np.asarray(im, np.uint8), th, tw,
+                                        normalize=False)
+            if arr is None:
+                arr = np.asarray(im.resize((tw, th), Image.BILINEAR),
+                                 np.float32)
         if len(boxes) == 0:
             boxes = np.ones((1, self.box_width - 1), np.float32)
             categories = -np.ones((1, 1), np.float32)
@@ -420,6 +497,11 @@ class CocoDataset:
             boxes[:, 1] = np.clip(boxes[:, 1], 0, h - 1)
             boxes[:, 2] = np.maximum(hi_x - boxes[:, 0], 1e-3)
             boxes[:, 3] = np.maximum(hi_y - boxes[:, 1], 1e-3)
+            if self.emit == 'u8':
+                t, off = self._draw_color_affine(arr)
+                arr, boxes = self._geometric_augment(arr, boxes)
+                target = np.concatenate([boxes, categories], axis=1)
+                return arr, target, t, off
             arr = _color_jitter_normalize(
                 arr, self.augment_brightness, self.augment_contrast,
                 self.augment_hue, self.augment_saturation)
@@ -428,6 +510,17 @@ class CocoDataset:
             # stride padding happens once at batch collation
             # (loader._pad_batch), not per image
             return arr, target
+
+        if self.training and self.emit == 'u8':
+            # transfer-thin feed: raw u8 pixels + the per-image color
+            # affine; jitter+normalize runs on-device (color_affine)
+            arr, ratio = self._load_resized_u8(img_id, resize)
+            boxes, categories = self._get_target(img_id)
+            boxes = self._scale_boxes(boxes, ratio)
+            t, off = self._draw_color_affine(arr)
+            arr, boxes = self._geometric_augment(arr, boxes)
+            target = np.concatenate([boxes, categories], axis=1)
+            return arr, target, t, off
 
         # training interleaves color jitter between decode and normalize,
         # so the fused native normalize is only used at eval time
@@ -486,12 +579,15 @@ class CocoDataset:
         # PIL rotate without expand
         angle = random.randint(0, 3) * 90
         if self.rotate_augment and angle != 0:
-            # the array is normalized by now (color runs first), so pad
-            # with black's normalized value — the reference rotates raw
-            # pixels and the zero fill then flows through its jitter +
-            # normalize chain (exact at zero contrast jitter, within
-            # c/std of it otherwise)
-            arr = self._rot90_same_canvas(arr, angle // 90, fill=_CLIP_LO)
+            # f32 emit: the array is normalized by now (color runs
+            # first), so pad with black's normalized value — the
+            # reference rotates raw pixels and the zero fill then flows
+            # through its jitter+normalize chain (exact at zero contrast
+            # jitter, within c/std of it otherwise). u8 emit: raw black,
+            # which flows through the on-device affine exactly like the
+            # reference's.
+            fill = 0 if self.emit == 'u8' else _CLIP_LO
+            arr = self._rot90_same_canvas(arr, angle // 90, fill=fill)
             h, w = arr.shape[:2]
             x, y, bw, bh = (boxes[:, i].copy() for i in range(4))
             if angle == 90:

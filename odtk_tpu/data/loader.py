@@ -24,7 +24,7 @@ from .coco import (CocoDataset, RotatedCocoDataset, fit_resize_caps,
                    resize_dims, round_up)
 
 
-def _pad_batch(images, stride, fixed_size=None):
+def _pad_batch(images, stride, fixed_size=None, dtype=np.float32):
     """Stack ragged [H,W,3] images padded to a bucketed static shape."""
     hs = [im.shape[0] for im in images]
     ws = [im.shape[1] for im in images]
@@ -32,7 +32,7 @@ def _pad_batch(images, stride, fixed_size=None):
         th, tw = fixed_size
     else:
         th, tw = round_up(max(hs), stride), round_up(max(ws), stride)
-    out = np.zeros((len(images), th, tw, 3), np.float32)
+    out = np.zeros((len(images), th, tw, 3), dtype)
     for i, im in enumerate(images):
         out[i, :im.shape[0], :im.shape[1]] = im
     return out
@@ -58,7 +58,14 @@ class DataIterator:
                  augment_brightness=0.0, augment_contrast=0.0,
                  augment_hue=0.0, augment_saturation=0.0, max_det=128,
                  rank=0, shuffle=None, fixed_size=None, num_threads=2,
-                 prefetch=2, seed=0, absolute_angle=False):
+                 prefetch=2, seed=0, absolute_angle=False, emit='f32'):
+        # emit='u8' (training): batches are
+        # (images u8 [B,H,W,3], targets, colors f32 [B,3,4], sizes
+        # f32 [B,2]) — colors[:, :, :3] is each image's folded
+        # jitter+normalize matrix, colors[:, :, 3] its offset, sizes the
+        # valid (h, w) extents for in-graph pad masking. 4x fewer
+        # host->device bytes than the f32 feed.
+        self.emit = emit if training else 'f32'
         self.dataset = self.dataset_cls(
             path, resize=resize, max_size=max_size, stride=stride,
             annotations=annotations, training=training,
@@ -66,7 +73,8 @@ class DataIterator:
             augment_brightness=augment_brightness,
             augment_contrast=augment_contrast, augment_hue=augment_hue,
             augment_saturation=augment_saturation,
-            absolute_angle=absolute_angle, fixed_size=fixed_size)
+            absolute_angle=absolute_angle, fixed_size=fixed_size,
+            emit=self.emit)
         self.resize = resize
         self.max_size = max_size
         self.stride = stride
@@ -265,6 +273,19 @@ class DataIterator:
         if self.training:
             images = [s[0] for s in samples]
             targets = [s[1] for s in samples]
+            if self.emit == 'u8':
+                data = _pad_batch(images, self.stride, self.fixed_size,
+                                  dtype=np.uint8)
+                colors = np.empty((len(samples), 3, 4), np.float32)
+                sizes = np.empty((len(samples), 2), np.float32)
+                for i, s in enumerate(samples):
+                    colors[i, :, :3] = s[2]
+                    colors[i, :, 3] = s[3]
+                    sizes[i] = s[0].shape[:2]
+                return (data,
+                        _pad_targets(targets, self.dataset.box_width,
+                                     self.max_det),
+                        colors, sizes)
             data = _pad_batch(images, self.stride, self.fixed_size)
             return data, _pad_targets(targets, self.dataset.box_width,
                                       self.max_det)

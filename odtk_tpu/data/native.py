@@ -58,6 +58,23 @@ def _load():
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        # u8 emit path (transfer-thin feed): older prebuilt libs may
+        # lack these symbols — guard so a stale build degrades to the
+        # float path instead of raising at import
+        try:
+            lib.odtk_decode_jpeg_resize_u8.restype = ctypes.c_int
+            lib.odtk_decode_jpeg_resize_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_float)]
+            lib.odtk_resize_u8.restype = ctypes.c_int
+            lib.odtk_resize_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int]
+            lib._has_u8 = True
+        except AttributeError:
+            lib._has_u8 = False
         _LIB = lib
         return _LIB
 
@@ -95,6 +112,51 @@ def decode_jpeg(data, resize, max_size, pad_to=None, normalize=True,
     if rc != 0:
         return None
     return out, oh.value, ow.value, float(ratio.value)
+
+
+def decode_jpeg_u8(data, resize, max_size, pad_to=None, out=None):
+    """JPEG bytes -> (uint8 [pad_h, pad_w, 3], th, tw, ratio) or None.
+
+    The transfer-thin twin of decode_jpeg: no color math, u8 output —
+    the color-jitter+normalize affine runs on-device instead (4x fewer
+    bytes over the host->device link)."""
+    lib = _load()
+    if lib is None or not getattr(lib, '_has_u8', False):
+        return None
+    if out is not None:
+        assert out.dtype == np.uint8 and out.flags.c_contiguous
+        pad_h, pad_w = out.shape[:2]
+    else:
+        pad_h, pad_w = pad_to if pad_to else (max_size, max_size)
+        out = np.empty((pad_h, pad_w, 3), np.uint8)
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    ratio = ctypes.c_float()
+    rc = lib.odtk_decode_jpeg_resize_u8(
+        data, len(data), int(resize), int(max_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        pad_h, pad_w, ctypes.byref(oh), ctypes.byref(ow),
+        ctypes.byref(ratio))
+    if rc != 0:
+        return None
+    return out, oh.value, ow.value, float(ratio.value)
+
+
+def resize_rgb_u8(rgb_u8, out_h, out_w):
+    """RGB uint8 [h, w, 3] -> uint8 [out_h, out_w, 3] (native bilinear)."""
+    lib = _load()
+    if lib is None or not getattr(lib, '_has_u8', False):
+        return None
+    rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.odtk_resize_u8(
+        rgb_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        rgb_u8.shape[0], rgb_u8.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out_h, out_w)
+    if rc != 0:
+        return None
+    return out
 
 
 def resize_rgb(rgb_u8, out_h, out_w, normalize=True):

@@ -102,9 +102,43 @@ def make_optimizer(lr, warmup, milestones, gamma, weight_decay=1e-4,
     return optax.GradientTransformation(init, update)
 
 
-def make_train_step(model, tx, mesh):
+def apply_color_affine(images_u8, colors, sizes):
+    """In-graph color jitter + ImageNet normalization + pad masking for
+    the transfer-thin u8 feed (loader emit='u8').
+
+    ``colors`` [B, 3, 4]: each image's folded jitter+normalize affine
+    (data/coco.color_affine) — [:, :, :3] the matrix, [:, :, 3] the
+    offset. ``sizes`` [B, 2]: valid (h, w) extents; canvas padding is
+    zeroed in NORMALIZED space, exactly like the f32 feed's collation.
+    Written as 3 unrolled multiply-adds (K=3 'matmul' on the VPU, fused
+    with the u8 cast and the clip/mask) rather than an einsum the
+    compiler might route through a 3/128-utilized MXU pass.
+    """
+    import jax.numpy as jnp
+    from .data.coco import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images_u8.astype(jnp.float32)
+    t = colors[:, :, :3][:, None, None]        # [B, 1, 1, 3(c), 3(d)]
+    y = (x[..., 0:1] * t[..., 0, :] + x[..., 1:2] * t[..., 1, :]
+         + x[..., 2:3] * t[..., 2, :]) + colors[:, None, None, :, 3]
+    lo = jnp.asarray((0.0 - IMAGENET_MEAN) / IMAGENET_STD)
+    hi = jnp.asarray((1.0 - IMAGENET_MEAN) / IMAGENET_STD)
+    y = jnp.clip(y, lo, hi)
+    h, w = images_u8.shape[1:3]
+    valid = ((jnp.arange(h)[None, :, None] < sizes[:, 0, None, None])
+             & (jnp.arange(w)[None, None, :] < sizes[:, 1, None, None]))
+    return y * valid[..., None].astype(y.dtype)
+
+
+def make_train_step(model, tx, mesh, u8_feed=False):
     """Jitted SPMD train step: (params, opt, frozen, images, targets) ->
-    (params, opt, cls_loss, box_loss)."""
+    (params, opt, cls_loss, box_loss).
+
+    u8_feed=True compiles the transfer-thin variant
+    (params, opt, frozen, images_u8, colors, sizes, targets): raw u8
+    pixels cross the host->device link (4x fewer bytes than f32 — the
+    difference between feeding and starving a chip behind a thin
+    host link) and the per-image color affine runs in-graph."""
     rep = replicated_sharding(mesh)
     img_shard = batch_sharding(mesh, 4)
     tgt_shard = batch_sharding(mesh, 3)
@@ -118,7 +152,7 @@ def make_train_step(model, tx, mesh):
     if getattr(model, 'wpack_auto', False):
         model.set_wpack_layer1(True)
 
-    def step(params, opt_state, frozen, images, targets):
+    def update(params, opt_state, frozen, images, targets):
         def loss_fn(p):
             cl, bl = model.loss_fn({'params': p, 'frozen': frozen},
                                    images, targets)
@@ -139,11 +173,72 @@ def make_train_step(model, tx, mesh):
         opt_state = jax.tree.map(pick, new_opt, opt_state)
         return params, opt_state, cl, bl
 
+    if not u8_feed:
+        return jax.jit(
+            update,
+            in_shardings=(rep, rep, rep, img_shard, tgt_shard),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1))
+
+    def step_u8(params, opt_state, frozen, images_u8, colors, sizes,
+                targets):
+        images = apply_color_affine(images_u8, colors, sizes)
+        return update(params, opt_state, frozen, images, targets)
+
     return jax.jit(
-        step,
-        in_shardings=(rep, rep, rep, img_shard, tgt_shard),
+        step_u8,
+        in_shardings=(rep, rep, rep, img_shard,
+                      batch_sharding(mesh, 3), batch_sharding(mesh, 2),
+                      tgt_shard),
         out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1))
+
+
+def _device_feed(data_iterator, mesh, prefetch=2):
+    """One epoch of device-resident batches, transfers overlapped.
+
+    A feeder thread device_puts batch N+1 (and N+2) while the main
+    thread dispatches step N — the host->device overlap DALI's
+    copy_to_external gives the reference on GPU (dali.py:151-157).
+    Without it, every step serializes behind its own upload (measured
+    3.2 s/step for the fp32 feed over the axon tunnel vs 66 ms of
+    compute). Exceptions in the feeder (loader errors, transfer
+    failures) surface in the consumer."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+    done = object()
+
+    def run():
+        try:
+            for batch in data_iterator:
+                arrays = shard_batch(mesh, *batch)
+                while not stop.is_set():
+                    try:
+                        q.put(arrays, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(done)
+        except Exception as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def train(model, state, path, annotations, val_path, val_annotations,
@@ -154,9 +249,16 @@ def train(model, state, path, annotations, val_path, val_annotations,
           augment_brightness=0.0, augment_contrast=0.0,
           augment_hue=0.0, augment_saturation=0.0, regularization_l2=0.0001,
           rotated_bbox=False, absolute_angle=False, max_det=128,
-          use_dali=False, profile_dir=None, sync_every=8, clip_grads=0.0):
+          use_dali=False, profile_dir=None, sync_every=8, clip_grads=0.0,
+          feed=None):
     'Train the model on the given dataset'
     del use_dali  # host pipeline is always the fused loader on TPU
+    # transfer-thin u8 feed by default; ODTK_FEED=f32 or feed='f32'
+    # restores the float path (identical math — color_affine runs
+    # on-device instead of on-host; tested equivalent)
+    feed = feed or os.environ.get('ODTK_FEED', 'u8')
+    if feed not in ('u8', 'f32'):
+        raise ValueError(f'unknown feed mode {feed!r}')
 
     rank, world = world_info()
     is_master = rank == 0
@@ -175,7 +277,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
     if 'optimizer' in state and state['optimizer'] is not None:
         opt_state = ckpt_io.restore_opt_state(state['optimizer'], opt_state)
 
-    train_step = make_train_step(model, tx, mesh)
+    train_step = make_train_step(model, tx, mesh, u8_feed=(feed == 'u8'))
 
     if verbose:
         print('Preparing dataset...')
@@ -187,7 +289,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
         augment_brightness=augment_brightness,
         augment_contrast=augment_contrast, augment_hue=augment_hue,
         augment_saturation=augment_saturation, max_det=max_det, rank=rank,
-        absolute_angle=absolute_angle)
+        absolute_angle=absolute_angle, emit=feed)
     if verbose:
         print(data_iterator)
         print('    device: {} {}'.format(
@@ -247,18 +349,24 @@ def train(model, state, path, annotations, val_path, val_annotations,
         pending = []
 
     while iteration < iterations:
-        for data, target in data_iterator:
+        for arrays in _device_feed(data_iterator, mesh):
             if iteration >= iterations:
                 break
             if profile_start is not None and iteration == profile_start:
                 jax.profiler.start_trace(profile_dir)
             profiler.start('fw')
-            images, targets = shard_batch(mesh, data, target)
-            params, opt_state, cls_loss, box_loss = train_step(
-                params, opt_state, frozen, images, targets)
+            if feed == 'u8':
+                images, targets, colors, sizes = arrays
+                params, opt_state, cls_loss, box_loss = train_step(
+                    params, opt_state, frozen, images, colors, sizes,
+                    targets)
+            else:
+                images, targets = arrays
+                params, opt_state, cls_loss, box_loss = train_step(
+                    params, opt_state, frozen, images, targets)
             profiler.stop('fw')
             profiler.start('bw')
-            pending.append((iteration, data.shape, cls_loss, box_loss))
+            pending.append((iteration, images.shape, cls_loss, box_loss))
             if len(pending) >= max(1, sync_every) \
                     or iteration + 1 >= iterations:
                 drain_pending()

@@ -1,0 +1,160 @@
+"""Transfer-thin u8 training feed: host/device color-affine equivalence.
+
+The u8 feed ships raw resized pixels + a per-image folded
+jitter+normalize affine (data/coco.color_affine) and applies it
+in-graph (train.apply_color_affine) — 4x fewer bytes over the
+host->device link than the f32 feed. These tests pin that the two
+feeds are the same math.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from odtk_tpu.data.coco import (_color_jitter_normalize, color_affine,
+                                _draw_jitter, _GRAY)
+from odtk_tpu.train import apply_color_affine, make_optimizer, \
+    make_train_step
+
+
+def test_color_affine_matches_host_jitter_chain():
+    """color_affine applied on-device == _color_jitter_normalize on the
+    host, for the same jitter draws, including the contrast term's
+    image-mean and the clip."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    img_u8 = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+
+    random.seed(7)
+    fb, fc, fs, fh = _draw_jitter(0.3, 0.3, 0.1, 0.3)
+    mgray01 = float(
+        img_u8.reshape(-1, 3).astype(np.float64).mean(0) @
+        _GRAY.astype(np.float64)) / 255.0
+    t, off = color_affine(fb, fc, fs, fh, mgray01)
+
+    # host reference path on the float image, same draws
+    random.seed(7)
+    host = _color_jitter_normalize(img_u8.astype(np.float32),
+                                   0.3, 0.3, 0.1, 0.3)
+
+    colors = np.concatenate([t, off[:, None]], axis=1)[None]
+    sizes = np.asarray([[40, 56]], np.float32)
+    dev = np.asarray(apply_color_affine(
+        jnp.asarray(img_u8[None]), jnp.asarray(colors),
+        jnp.asarray(sizes)))[0]
+    np.testing.assert_allclose(dev, host, atol=2e-3)
+
+
+def test_apply_color_affine_masks_padding():
+    import jax.numpy as jnp
+    t, off = color_affine(1.0, 1.0, 1.0, 0.0, 0.0)
+    colors = np.concatenate([t, off[:, None]], axis=1)[None]
+    img = np.full((1, 8, 8, 3), 255, np.uint8)
+    out = np.asarray(apply_color_affine(
+        jnp.asarray(img), jnp.asarray(colors),
+        jnp.asarray([[5, 6]], np.float32)))
+    assert np.all(out[0, 5:] == 0) and np.all(out[0, :, 6:] == 0)
+    # valid region: (255/255 - mean)/std, nonzero everywhere
+    assert np.all(np.abs(out[0, :5, :6]) > 0.1)
+
+
+@pytest.fixture(scope='module')
+def dataset(tmp_path_factory):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth import make_dataset
+    root = tmp_path_factory.mktemp('u8feed')
+    img_dir, ann = make_dataset(str(root), n_images=4, size=(100, 120),
+                                fmt='jpg', seed=3)
+    return img_dir, ann
+
+
+def test_loader_u8_emit_matches_f32_feed(dataset):
+    """Same seeds -> the u8 batch pushed through apply_color_affine
+    equals the f32 batch (up to u8 rounding of the resize output)."""
+    import jax.numpy as jnp
+    from odtk_tpu.data.loader import DataIterator
+
+    img_dir, ann = dataset
+    kw = dict(resize=96, max_size=160, batch_size=4, stride=32, world=1,
+              annotations=ann, training=True, max_det=8, seed=5,
+              augment_brightness=0.05, augment_contrast=0.05,
+              augment_hue=0.01, augment_saturation=0.05)
+    it8 = DataIterator(img_dir, emit='u8', num_threads=1, **kw)
+    it32 = DataIterator(img_dir, emit='f32', num_threads=1, **kw)
+
+    random.seed(11)
+    b8 = next(iter(it8))
+    random.seed(11)
+    b32 = next(iter(it32))
+
+    assert b8[0].dtype == np.uint8 and len(b8) == 4
+    assert b8[2].shape == (4, 3, 4) and b8[3].shape == (4, 2)
+    np.testing.assert_array_equal(b8[1], b32[1])      # identical targets
+    dev = np.asarray(apply_color_affine(
+        jnp.asarray(b8[0]), jnp.asarray(b8[2]), jnp.asarray(b8[3])))
+    # u8 resize rounds each pixel once before the affine: tolerance is
+    # one quantization step through the steepest channel (~1/255/std)
+    assert dev.shape == b32[0].shape
+    np.testing.assert_allclose(dev, b32[0], atol=0.03)
+
+
+def test_u8_train_step_matches_f32(dataset):
+    """One optimizer step through the u8 graph == the f32 graph."""
+    import jax
+    import jax.numpy as jnp
+    from odtk_tpu.data.loader import DataIterator
+    from odtk_tpu.model import Model
+    from odtk_tpu.parallel import make_mesh, shard_batch
+
+    img_dir, ann = dataset
+    kw = dict(resize=96, max_size=160, batch_size=2, stride=128, world=1,
+              annotations=ann, training=True, max_det=8, seed=5)
+    random.seed(3)
+    b8 = next(iter(DataIterator(img_dir, emit='u8', num_threads=1, **kw)))
+    random.seed(3)
+    b32 = next(iter(DataIterator(img_dir, emit='f32', num_threads=1, **kw)))
+
+    model = Model(backbones='ResNet18FPN', classes=3)
+    model.initialize(rng=0, image_size=(128, 128))
+    mesh = make_mesh(jax.devices()[:2])
+    tx = make_optimizer(lr=0.01, warmup=10, milestones=[100], gamma=0.1)
+    import jax
+    # host numpy copies: the steps donate their params/opt args, and a
+    # shared device array would be deleted by the first call
+    params = jax.device_get(model.variables['params'])
+    frozen = model.variables['frozen']
+
+    step8 = make_train_step(model, tx, mesh, u8_feed=True)
+    imgs, cols, szs, tg = shard_batch(mesh, b8[0], b8[2], b8[3], b8[1])
+    p8, _, cl8, bl8 = step8(params, tx.init(params), frozen,
+                            imgs, cols, szs, tg)
+    step32 = make_train_step(model, tx, mesh)
+    imgs32, tg32 = shard_batch(mesh, b32[0], b32[1])
+    p32, _, cl32, bl32 = step32(params, tx.init(params), frozen,
+                                imgs32, tg32)
+    np.testing.assert_allclose(float(cl8), float(cl32), rtol=1e-3)
+    np.testing.assert_allclose(float(bl8), float(bl32), rtol=1e-2)
+    # parameters moved the same way
+    la, lb = jax.tree.leaves(p8)[0], jax.tree.leaves(p32)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-4)
+
+
+def test_native_u8_decode_matches_float(dataset):
+    from odtk_tpu.data import native
+    if not native.available() or not getattr(native._load(), '_has_u8',
+                                             False):
+        pytest.skip('native u8 decode unavailable')
+    import os
+    img_dir, _ = dataset
+    fp = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    with open(fp, 'rb') as f:
+        data = f.read()
+    f32 = native.decode_jpeg(data, 96, 160, normalize=False)
+    u8 = native.decode_jpeg_u8(data, 96, 160)
+    assert f32 is not None and u8 is not None
+    assert u8[1:] == f32[1:]            # same dims + ratio
+    np.testing.assert_allclose(u8[0].astype(np.float32), f32[0],
+                               atol=0.51)  # round-to-nearest of the same blend
