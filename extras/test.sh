@@ -30,11 +30,11 @@ EOF
     ROT_IMAGES="$WORK/rot/images"
     ROT_ANNOTATIONS="$WORK/rot/annotations.json"
     CLASSES=3
-    EXTRA="--resize 64 --max-size 128 --jitter 64 64 --warmup 0 --lr 0.001"
+    EXTRA="--resize 64 --max-size 128 --jitter 64 64 --warmup 0 --lr 0.001 --no-pretrained"
     SIZE=128
 else
     CLASSES=80
-    EXTRA="--resize 512 --max-size 768 --jitter 512 512"
+    EXTRA="--resize 512 --max-size 768 --jitter 512 512 --no-pretrained"
     SIZE=640
 fi
 

@@ -137,7 +137,11 @@ def main():
     common = ['--classes', 3, '--batch', 8, '--resize', res,
               '--max-size', mx, '--jitter', res, res,
               '--lr', 0.004, '--warmup', 300, '--milestones', mile,
-              '--val-iters', 0, '--override', '--max-det', 32]
+              '--val-iters', 0, '--override', '--max-det', 32,
+              # the recipe is tuned for from-scratch convergence; keep
+              # it deterministic whether or not ImageNet weights are
+              # fetchable on this box
+              '--no-pretrained']
 
     # 1. axis training from scratch
     ckpt = os.path.join(work, 'axis.ckpt')

@@ -31,11 +31,18 @@ def _merge_tokens(tokens):
 
 
 def _split_token(token):
-    """'layer1_0' -> ['layer1', '0']; 'backbones_Res50' -> ['backbones', ...]."""
+    """'layer1_0' -> ['layer1', '0']; 'backbones_X' -> ['backbones', 'X'].
+
+    The backbone NAME is one torch token even when it contains
+    underscores and digits ('backbones.ResNeXt50_32x4dFPN.features...'),
+    so it must come back out whole — splitting it per the numeric-
+    Sequential rule mangled every ResNeXt checkpoint key."""
+    if token.startswith('backbones_'):
+        return ['backbones', token[len('backbones_'):]]
     parts = token.split('_')
     out = [parts[0]]
     for p in parts[1:]:
-        if p.isdigit() or out[0] == 'backbones':
+        if p.isdigit():
             out.append(p)
         else:
             out[-1] = out[-1] + '_' + p

@@ -83,6 +83,11 @@ def parse(args):
                               help='torchvision-format .pth file(s) to '
                                    'initialize the backbone(s) from '
                                    '(ImageNet init without a download path)')
+    parser_train.add_argument('--no-pretrained', action='store_true',
+                              help='skip the default ImageNet backbone '
+                                   'init (fetch-with-cache; the reference '
+                                   'loads model-zoo weights on every '
+                                   'fresh model)')
     parser_train.add_argument('--logdir', metavar='logdir', type=str,
                               help='TensorBoard output directory')
     parser_train.add_argument('--val-iters', metavar='number', type=int,
@@ -305,6 +310,12 @@ def load_model(args, verbose=False):
             for bb, w in zip(args.backbone, args.backbone_weights):
                 print('Loading {} weights from {}...'.format(bb, w))
                 load_backbone_weights(model, bb, w)
+        elif args.fine_tune is None and not args.no_pretrained:
+            # the reference's silent default: every fresh backbone gets
+            # ImageNet weights (odtk/backbones/resnet.py:21-22). Warns
+            # loudly and trains from scratch when unobtainable.
+            from .io.model_zoo import init_pretrained
+            init_pretrained(model, verbose=verbose)
         state = {}
     else:
         if not os.path.isfile(args.model):
