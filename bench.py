@@ -426,7 +426,7 @@ def bench_e2e_train(model_cls, batch=8, size=832, epochs=3):
     params = model.variables['params']
     frozen = model.variables['frozen']
     opt_state = tx.init(params)
-    step = make_train_step(model, tx, mesh, u8_feed=True)
+    step = make_train_step(model, tx, mesh, feed='yuv420')
 
     with tempfile.TemporaryDirectory() as root:
         img_dir, anns = make_dataset(root, n_images=64, size=(640, 640),
@@ -436,11 +436,16 @@ def bench_e2e_train(model_cls, batch=8, size=832, epochs=3):
                           annotations=anns, training=True, max_det=32,
                           augment_brightness=0.002, augment_contrast=0.002,
                           augment_hue=0.0002, augment_saturation=0.002,
-                          emit='u8')
-        for data, target, colors, sizes in it:       # warm: compile + cache
-            arrays = shard_batch(mesh, data, colors, sizes, target)
+                          emit='yuv420')
+
+        def put(b):
+            # loader tuple (y, cbcr, targets, colors, sizes) -> step
+            # argument order (y, cbcr, colors, sizes, targets)
+            return shard_batch(mesh, b[0], b[1], b[3], b[4], b[2])
+
+        for b in it:                                 # warm: compile + cache
             params, opt_state, cl, bl = step(params, opt_state, frozen,
-                                             *arrays)
+                                             *put(b))
         float(cl)
 
         stats = {'host': 0.0, 'put': 0.0}
@@ -450,14 +455,12 @@ def bench_e2e_train(model_cls, batch=8, size=832, epochs=3):
             try:
                 for _ in range(epochs):
                     tw = time.perf_counter()
-                    for data, target, colors, sizes in it:
+                    for b in it:
                         stats['host'] += time.perf_counter() - tw
                         tt = time.perf_counter()
-                        arrays = shard_batch(mesh, data, colors, sizes,
-                                             target)
+                        arrays = put(b)
                         stats['put'] += time.perf_counter() - tt
-                        q.put((arrays, data.nbytes + target.nbytes
-                               + colors.nbytes + sizes.nbytes))
+                        q.put((arrays, sum(a.nbytes for a in b)))
                         tw = time.perf_counter()
                 q.put(None)
             except Exception as e:  # noqa: BLE001 — surfaced in consumer
@@ -490,7 +493,7 @@ def bench_e2e_train(model_cls, batch=8, size=832, epochs=3):
     n_im = n_steps * batch
     return {'e2e_train_im_s': round(n_im / sec, 2),
             'e2e_train_step_ms': round(sec / n_steps * 1e3, 2),
-            'e2e_feed': 'u8',
+            'e2e_feed': 'yuv420',
             'e2e_mb_per_step': round(n_bytes / n_steps / 1e6, 2),
             'e2e_host_ms': round(stats['host'] / n_steps * 1e3, 2),
             'e2e_put_ms': round(stats['put'] / n_steps * 1e3, 2),

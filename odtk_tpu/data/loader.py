@@ -23,6 +23,52 @@ import numpy as np
 from .coco import (CocoDataset, RotatedCocoDataset, fit_resize_caps,
                    resize_dims, round_up)
 
+# JFIF/BT.601 full-range RGB<->YCbCr. _YUV_A/_YUV_B are the exact
+# inverse of the forward matrix so the device-side assembly
+# (train.apply_color_affine yuv mode) reverses the host conversion to
+# float precision: rgb_row = yuv_row @ _YUV_A + _YUV_B.
+_RGB2YUV = np.asarray([[0.299, -0.168736, 0.5],
+                       [0.587, -0.331264, -0.418688],
+                       [0.114, 0.5, -0.081312]], np.float64)
+_YUV_OFF = np.asarray([0.0, 128.0, 128.0], np.float64)
+_YUV_A = np.linalg.inv(_RGB2YUV)
+_YUV_B = -_YUV_OFF @ _YUV_A
+
+
+def rgb_to_yuv420(arr_u8):
+    """RGB u8 [h,w,3] -> (y u8 [h,w], cbcr u8 [ceil(h/2),ceil(w/2),2]).
+
+    The emission format of the 'yuv420' feed: JPEG sources are 4:2:0
+    subsampled already, so shipping target-res YUV420 (1.5 B/px, half
+    the u8 feed's bytes, 8x fewer than f32) carries essentially the
+    information content the file had. Chroma is the mean of each 2x2
+    block (edge blocks: mean of the valid pixels)."""
+    h, w = arr_u8.shape[:2]
+    yuv = arr_u8.reshape(-1, 3).astype(np.float32) @ \
+        _RGB2YUV.astype(np.float32)
+    yuv = yuv.reshape(h, w, 3)
+    y = np.clip(yuv[:, :, 0] + 0.5, 0, 255).astype(np.uint8)
+    c = yuv[:, :, 1:]
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    if (ph, pw) != (h, w):
+        # edge-replicate so edge blocks average valid pixels only
+        c = np.pad(c, ((0, ph - h), (0, pw - w), (0, 0)), mode='edge')
+    c = c.reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
+    c = np.clip(c + (128.0 + 0.5), 0, 255).astype(np.uint8)
+    return y, c
+
+
+def fold_yuv_affine(colors_rgb):
+    """Fold the YCbCr->RGB conversion into per-image color affines:
+    [B,3,4] RGB-space (t, off) -> [B,3,4] YUV-space, so the device
+    applies ONE affine to assembled YUV pixels."""
+    a = _YUV_A.astype(np.float32)
+    b = _YUV_B.astype(np.float32)
+    out = np.empty_like(colors_rgb)
+    out[:, :, :3] = a[None] @ colors_rgb[:, :, :3]
+    out[:, :, 3] = b @ colors_rgb[:, :, :3] + colors_rgb[:, :, 3]
+    return out
+
 
 def _pad_batch(images, stride, fixed_size=None, dtype=np.float32):
     """Stack ragged [H,W,3] images padded to a bucketed static shape."""
@@ -65,6 +111,10 @@ class DataIterator:
         # jitter+normalize matrix, colors[:, :, 3] its offset, sizes the
         # valid (h, w) extents for in-graph pad masking. 4x fewer
         # host->device bytes than the f32 feed.
+        # emit='yuv420': (y u8 [B,H,W], cbcr u8 [B,H/2,W/2,2], targets,
+        # colors, sizes) — 8x fewer bytes; the YCbCr->RGB conversion is
+        # folded into each image's color affine (fold_yuv_affine) and
+        # chroma upsamples on-device. The canvas stride keeps H, W even.
         self.emit = emit if training else 'f32'
         self.dataset = self.dataset_cls(
             path, resize=resize, max_size=max_size, stride=stride,
@@ -74,7 +124,7 @@ class DataIterator:
             augment_contrast=augment_contrast, augment_hue=augment_hue,
             augment_saturation=augment_saturation,
             absolute_angle=absolute_angle, fixed_size=fixed_size,
-            emit=self.emit)
+            emit='u8' if self.emit == 'yuv420' else self.emit)
         self.resize = resize
         self.max_size = max_size
         self.stride = stride
@@ -273,19 +323,35 @@ class DataIterator:
         if self.training:
             images = [s[0] for s in samples]
             targets = [s[1] for s in samples]
-            if self.emit == 'u8':
-                data = _pad_batch(images, self.stride, self.fixed_size,
-                                  dtype=np.uint8)
+            if self.emit in ('u8', 'yuv420'):
                 colors = np.empty((len(samples), 3, 4), np.float32)
                 sizes = np.empty((len(samples), 2), np.float32)
                 for i, s in enumerate(samples):
                     colors[i, :, :3] = s[2]
                     colors[i, :, 3] = s[3]
                     sizes[i] = s[0].shape[:2]
-                return (data,
-                        _pad_targets(targets, self.dataset.box_width,
-                                     self.max_det),
-                        colors, sizes)
+                tgts = _pad_targets(targets, self.dataset.box_width,
+                                    self.max_det)
+                if self.emit == 'u8':
+                    data = _pad_batch(images, self.stride, self.fixed_size,
+                                      dtype=np.uint8)
+                    return data, tgts, colors, sizes
+                # yuv420: convert each augmented RGB image once, then
+                # place the planes on even-dim canvases
+                if self.fixed_size is not None:
+                    th, tw = self.fixed_size
+                else:
+                    th = round_up(max(im.shape[0] for im in images),
+                                  self.stride)
+                    tw = round_up(max(im.shape[1] for im in images),
+                                  self.stride)
+                yc = np.zeros((len(images), th, tw), np.uint8)
+                cc = np.zeros((len(images), th // 2, tw // 2, 2), np.uint8)
+                for i, im in enumerate(images):
+                    y, c = rgb_to_yuv420(np.ascontiguousarray(im))
+                    yc[i, :y.shape[0], :y.shape[1]] = y
+                    cc[i, :c.shape[0], :c.shape[1]] = c
+                return yc, cc, tgts, fold_yuv_affine(colors), sizes
             data = _pad_batch(images, self.stride, self.fixed_size)
             return data, _pad_targets(targets, self.dataset.box_width,
                                       self.max_det)

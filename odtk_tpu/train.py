@@ -130,15 +130,36 @@ def apply_color_affine(images_u8, colors, sizes):
     return y * valid[..., None].astype(y.dtype)
 
 
-def make_train_step(model, tx, mesh, u8_feed=False):
+def apply_color_affine_yuv(y_u8, cbcr_u8, colors, sizes):
+    """YUV420 feed assembly: nearest-upsample the chroma plane 2x,
+    stack with luma, and run the SAME per-image affine — the loader
+    already folded YCbCr->RGB into ``colors`` (fold_yuv_affine), so
+    colorspace conversion costs nothing extra in-graph. 1.5 B/px over
+    the link: half the u8 feed, 8x less than f32."""
+    import jax.numpy as jnp
+
+    c = jnp.repeat(jnp.repeat(cbcr_u8, 2, axis=1), 2, axis=2)
+    yuv = jnp.concatenate([y_u8[..., None], c], axis=-1)
+    return apply_color_affine(yuv, colors, sizes)
+
+
+def make_train_step(model, tx, mesh, u8_feed=False, feed=None):
     """Jitted SPMD train step: (params, opt, frozen, images, targets) ->
     (params, opt, cls_loss, box_loss).
 
-    u8_feed=True compiles the transfer-thin variant
-    (params, opt, frozen, images_u8, colors, sizes, targets): raw u8
-    pixels cross the host->device link (4x fewer bytes than f32 — the
-    difference between feeding and starving a chip behind a thin
-    host link) and the per-image color affine runs in-graph."""
+    feed selects the host->device format (what crosses the link is the
+    difference between feeding and starving a chip behind a thin host
+    link; measured 41 MB/s through the axon tunnel):
+      * 'f32' (default)  — normalized float images, 12 B/px;
+      * 'u8'             — raw pixels + per-image color affine applied
+                           in-graph, 3 B/px; signature (params, opt,
+                           frozen, images_u8, colors, sizes, targets);
+      * 'yuv420'         — chroma-subsampled planes (what the JPEG
+                           itself stores), 1.5 B/px; signature (params,
+                           opt, frozen, y, cbcr, colors, sizes,
+                           targets).
+    u8_feed=True is legacy shorthand for feed='u8'."""
+    feed = 'u8' if u8_feed else (feed or 'f32')
     rep = replicated_sharding(mesh)
     img_shard = batch_sharding(mesh, 4)
     tgt_shard = batch_sharding(mesh, 3)
@@ -173,28 +194,44 @@ def make_train_step(model, tx, mesh, u8_feed=False):
         opt_state = jax.tree.map(pick, new_opt, opt_state)
         return params, opt_state, cl, bl
 
-    if not u8_feed:
+    if feed == 'f32':
         return jax.jit(
             update,
             in_shardings=(rep, rep, rep, img_shard, tgt_shard),
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 1))
 
-    def step_u8(params, opt_state, frozen, images_u8, colors, sizes,
-                targets):
-        images = apply_color_affine(images_u8, colors, sizes)
+    if feed == 'u8':
+        def step_u8(params, opt_state, frozen, images_u8, colors, sizes,
+                    targets):
+            images = apply_color_affine(images_u8, colors, sizes)
+            return update(params, opt_state, frozen, images, targets)
+
+        return jax.jit(
+            step_u8,
+            in_shardings=(rep, rep, rep, img_shard,
+                          batch_sharding(mesh, 3), batch_sharding(mesh, 2),
+                          tgt_shard),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1))
+
+    assert feed == 'yuv420', feed
+
+    def step_yuv(params, opt_state, frozen, y, cbcr, colors, sizes,
+                 targets):
+        images = apply_color_affine_yuv(y, cbcr, colors, sizes)
         return update(params, opt_state, frozen, images, targets)
 
     return jax.jit(
-        step_u8,
-        in_shardings=(rep, rep, rep, img_shard,
+        step_yuv,
+        in_shardings=(rep, rep, rep, batch_sharding(mesh, 3), img_shard,
                       batch_sharding(mesh, 3), batch_sharding(mesh, 2),
                       tgt_shard),
         out_shardings=(rep, rep, rep, rep),
         donate_argnums=(0, 1))
 
 
-def _device_feed(data_iterator, mesh, prefetch=2):
+def _device_feed(data_iterator, mesh, prefetch=2, transform=None):
     """One epoch of device-resident batches, transfers overlapped.
 
     A feeder thread device_puts batch N+1 (and N+2) while the main
@@ -203,7 +240,9 @@ def _device_feed(data_iterator, mesh, prefetch=2):
     Without it, every step serializes behind its own upload (measured
     3.2 s/step for the fp32 feed over the axon tunnel vs 66 ms of
     compute). Exceptions in the feeder (loader errors, transfer
-    failures) surface in the consumer."""
+    failures) surface in the consumer. ``transform`` maps a host batch
+    to the queued item (default: device_put every array); infer uses it
+    to upload images while keeping ids/ratios host-side."""
     import queue
     import threading
 
@@ -214,7 +253,10 @@ def _device_feed(data_iterator, mesh, prefetch=2):
     def run():
         try:
             for batch in data_iterator:
-                arrays = shard_batch(mesh, *batch)
+                if transform is not None:
+                    arrays = transform(batch)
+                else:
+                    arrays = shard_batch(mesh, *batch)
                 while not stop.is_set():
                     try:
                         q.put(arrays, timeout=0.5)
@@ -253,11 +295,12 @@ def train(model, state, path, annotations, val_path, val_annotations,
           feed=None):
     'Train the model on the given dataset'
     del use_dali  # host pipeline is always the fused loader on TPU
-    # transfer-thin u8 feed by default; ODTK_FEED=f32 or feed='f32'
-    # restores the float path (identical math — color_affine runs
-    # on-device instead of on-host; tested equivalent)
-    feed = feed or os.environ.get('ODTK_FEED', 'u8')
-    if feed not in ('u8', 'f32'):
+    # transfer-thin yuv420 feed by default (ships the chroma-subsampled
+    # information content the JPEGs themselves store; 8x fewer link
+    # bytes than f32). ODTK_FEED=u8 keeps full-res chroma (identical
+    # math to f32, tested); ODTK_FEED=f32 restores the float path.
+    feed = feed or os.environ.get('ODTK_FEED', 'yuv420')
+    if feed not in ('yuv420', 'u8', 'f32'):
         raise ValueError(f'unknown feed mode {feed!r}')
 
     rank, world = world_info()
@@ -277,7 +320,7 @@ def train(model, state, path, annotations, val_path, val_annotations,
     if 'optimizer' in state and state['optimizer'] is not None:
         opt_state = ckpt_io.restore_opt_state(state['optimizer'], opt_state)
 
-    train_step = make_train_step(model, tx, mesh, u8_feed=(feed == 'u8'))
+    train_step = make_train_step(model, tx, mesh, feed=feed)
 
     if verbose:
         print('Preparing dataset...')
@@ -355,7 +398,12 @@ def train(model, state, path, annotations, val_path, val_annotations,
             if profile_start is not None and iteration == profile_start:
                 jax.profiler.start_trace(profile_dir)
             profiler.start('fw')
-            if feed == 'u8':
+            if feed == 'yuv420':
+                images, cbcr, targets, colors, sizes = arrays
+                params, opt_state, cls_loss, box_loss = train_step(
+                    params, opt_state, frozen, images, cbcr, colors,
+                    sizes, targets)
+            elif feed == 'u8':
                 images, targets, colors, sizes = arrays
                 params, opt_state, cls_loss, box_loss = train_step(
                     params, opt_state, frozen, images, colors, sizes,

@@ -142,6 +142,111 @@ def test_u8_train_step_matches_f32(dataset):
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-4)
 
 
+def test_yuv420_roundtrip_smooth_image():
+    """RGB -> YUV420 -> device assembly -> RGB is near-exact on
+    chroma-smooth content (the only loss is 2x2 chroma averaging)."""
+    import jax.numpy as jnp
+    from odtk_tpu.data.loader import rgb_to_yuv420, fold_yuv_affine
+    from odtk_tpu.data.coco import color_affine, IMAGENET_MEAN, \
+        IMAGENET_STD
+    from odtk_tpu.train import apply_color_affine_yuv
+
+    # smooth gradient image: chroma varies slowly
+    h, w = 32, 48
+    gy, gx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([gx * 3, gy * 4, (gx + gy)], axis=-1).astype(np.uint8)
+    y, c = rgb_to_yuv420(rgb)
+    assert y.shape == (h, w) and c.shape == (h // 2, w // 2, 2)
+
+    t, off = color_affine(1.0, 1.0, 1.0, 0.0, 0.0)     # pure normalize
+    colors = fold_yuv_affine(
+        np.concatenate([t, off[:, None]], axis=1)[None])
+    out = np.asarray(apply_color_affine_yuv(
+        jnp.asarray(y[None]), jnp.asarray(c[None]), jnp.asarray(colors),
+        jnp.asarray([[h, w]], np.float32)))[0]
+    # undo normalization -> compare pixel values in [0,1]
+    back = out * IMAGENET_STD + IMAGENET_MEAN
+    want = rgb.astype(np.float32) / 255.0
+    # nearest-upsampled 2x2-averaged chroma: worst case ~the local
+    # chroma gradient (few/255 here) plus u8 rounding
+    assert np.abs(back - want).max() < 0.03
+
+
+def test_loader_yuv420_emit_matches_f32_feed(dataset):
+    """Same seeds -> the yuv420 batch through the device assembly
+    approximates the f32 batch (chroma-blur tolerance)."""
+    import jax.numpy as jnp
+    from odtk_tpu.data.loader import DataIterator
+    from odtk_tpu.train import apply_color_affine_yuv
+
+    img_dir, ann = dataset
+    kw = dict(resize=96, max_size=160, batch_size=4, stride=32, world=1,
+              annotations=ann, training=True, max_det=8, seed=5,
+              augment_brightness=0.05, augment_contrast=0.05,
+              augment_hue=0.01, augment_saturation=0.05)
+    ity = DataIterator(img_dir, emit='yuv420', num_threads=1, **kw)
+    it32 = DataIterator(img_dir, emit='f32', num_threads=1, **kw)
+
+    random.seed(11)
+    by = next(iter(ity))
+    random.seed(11)
+    b32 = next(iter(it32))
+
+    y, c, tgts, colors, sizes = by
+    assert y.dtype == np.uint8 and y.ndim == 3
+    assert c.shape == (4, y.shape[1] // 2, y.shape[2] // 2, 2)
+    np.testing.assert_array_equal(tgts, b32[1])
+    dev = np.asarray(apply_color_affine_yuv(
+        jnp.asarray(y), jnp.asarray(c), jnp.asarray(colors),
+        jnp.asarray(sizes)))
+    assert dev.shape == b32[0].shape
+    # synthetic rectangles have hard chroma edges; compare medians and
+    # the bulk of pixels rather than the max
+    err = np.abs(dev - b32[0])
+    assert np.median(err) < 0.01
+    assert err.mean() < 0.04
+    assert (err < 0.12).mean() > 0.94
+
+
+def test_yuv_train_step_runs_and_is_close(dataset):
+    import jax
+    import jax.numpy as jnp
+    from odtk_tpu.data.loader import DataIterator
+    from odtk_tpu.model import Model
+    from odtk_tpu.parallel import make_mesh, shard_batch
+
+    img_dir, ann = dataset
+    kw = dict(resize=96, max_size=160, batch_size=2, stride=128, world=1,
+              annotations=ann, training=True, max_det=8, seed=5)
+    random.seed(3)
+    by = next(iter(DataIterator(img_dir, emit='yuv420', num_threads=1,
+                                **kw)))
+    random.seed(3)
+    b32 = next(iter(DataIterator(img_dir, emit='f32', num_threads=1,
+                                 **kw)))
+
+    model = Model(backbones='ResNet18FPN', classes=3)
+    model.initialize(rng=0, image_size=(128, 128))
+    mesh = make_mesh(jax.devices()[:2])
+    tx = make_optimizer(lr=0.01, warmup=10, milestones=[100], gamma=0.1)
+    params = jax.device_get(model.variables['params'])
+    frozen = model.variables['frozen']
+
+    stepy = make_train_step(model, tx, mesh, feed='yuv420')
+    y, c, tgts, colors, sizes = by
+    ys, cs, col, szs, tg = shard_batch(mesh, y, c, colors, sizes, tgts)
+    _, _, cly, bly = stepy(params, tx.init(params), frozen,
+                           ys, cs, col, szs, tg)
+    step32 = make_train_step(model, tx, mesh)
+    imgs32, tg32 = shard_batch(mesh, b32[0], b32[1])
+    _, _, cl32, bl32 = step32(params, tx.init(params), frozen,
+                              imgs32, tg32)
+    assert np.isfinite(float(cly)) and np.isfinite(float(bly))
+    # chroma subsampling perturbs pixels slightly; losses stay close
+    np.testing.assert_allclose(float(cly), float(cl32), rtol=0.05)
+    np.testing.assert_allclose(float(bly), float(bl32), rtol=0.05)
+
+
 def test_native_u8_decode_matches_float(dataset):
     from odtk_tpu.data import native
     if not native.available() or not getattr(native._load(), '_has_u8',
