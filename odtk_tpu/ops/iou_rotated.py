@@ -16,6 +16,8 @@ Conventions preserved from the reference:
     (nms_iou.cu:242-248, :367-373).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -342,7 +344,16 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
         active = valid
 
     if use_pallas is None:
-        use_pallas = _tpu_backend()
+        # Default: the chunk-streaming while_loop twin. The round-4
+        # Pallas matcher has never compiled on the axon remote backend —
+        # tpu_compile_helper exits 1 (HTTP 500) deterministically for
+        # the rotated TRAIN graph while every other graph (incl. fresh
+        # multi-minute compiles and the rotated-NMS Pallas kernel)
+        # compiles in the same process; rounds 4 and 5 both lost the
+        # rotated bench leg to it. ODTK_ROTATED_MATCH=pallas re-enables
+        # the kernel for bisection on backends whose compiler takes it.
+        env = os.environ.get('ODTK_ROTATED_MATCH', '')
+        use_pallas = env == 'pallas'
     if use_pallas:
         # one-launch Pallas matcher: VMEM-resident anchor planes, a
         # dynamic loop over per-image packed actives, tile-AABB skip
