@@ -522,6 +522,13 @@ class CocoDataset:
             target = np.concatenate([boxes, categories], axis=1)
             return arr, target, t, off
 
+        if not self.training and self.emit == 'u8':
+            # transfer-thin eval feed: raw u8 pixels; the constant
+            # normalize affine runs on-device (infer.py wraps
+            # inference_fn with it)
+            arr, ratio = self._load_resized_u8(img_id, resize)
+            return arr, img_id, ratio
+
         # training interleaves color jitter between decode and normalize,
         # so the fused native normalize is only used at eval time
         arr, ratio, normalized = self._load_resized(

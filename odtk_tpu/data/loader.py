@@ -115,7 +115,10 @@ class DataIterator:
         # colors, sizes) — 8x fewer bytes; the YCbCr->RGB conversion is
         # folded into each image's color affine (fold_yuv_affine) and
         # chroma upsamples on-device. The canvas stride keeps H, W even.
-        self.emit = emit if training else 'f32'
+        # Eval supports 'u8' only (exact pixels; batches are
+        # (images u8, ids, ratios, sizes) and infer.py normalizes
+        # in-graph); 'yuv420' eval would perturb the measured AP.
+        self.emit = emit if (training or emit == 'u8') else 'f32'
         self.dataset = self.dataset_cls(
             path, resize=resize, max_size=max_size, stride=stride,
             annotations=annotations, training=training,
@@ -305,18 +308,29 @@ class DataIterator:
         else:
             canvas_h = round_up(max(m[2] for m in metas), self.stride)
             canvas_w = round_up(max(m[3] for m in metas), self.stride)
-        canvas = np.empty((len(metas), canvas_h, canvas_w, 3), np.float32)
+        u8 = self.emit == 'u8'
+        if u8 and not getattr(native._load(), '_has_u8', False):
+            return None
+        canvas = np.empty((len(metas), canvas_h, canvas_w, 3),
+                          np.uint8 if u8 else np.float32)
         ratios = np.empty(len(metas), np.float32)
-        for i, (row, (_, full, _, _, rsz, msz)) in enumerate(
+        sizes = np.empty((len(metas), 2), np.float32)
+        for i, (row, (_, full, th, tw, rsz, msz)) in enumerate(
                 zip(canvas, metas)):
             with open(full, 'rb') as f:
                 data = f.read()
-            dec = native.decode_jpeg(data, rsz, msz,
-                                     normalize=True, out=row)
+            if u8:
+                dec = native.decode_jpeg_u8(data, rsz, msz, out=row)
+            else:
+                dec = native.decode_jpeg(data, rsz, msz,
+                                         normalize=True, out=row)
             if dec is None:
                 return None
             ratios[i] = dec[3]   # the decoder's ratio, same as slow path
+            sizes[i] = dec[1], dec[2]
         ids = np.asarray([m[0] for m in metas], np.int64)
+        if u8:
+            return canvas, ids, ratios, sizes
         return canvas, ids, ratios
 
     def _collate(self, samples):
@@ -358,6 +372,11 @@ class DataIterator:
         images = [s[0] for s in samples]
         ids = np.asarray([s[1] for s in samples], np.int64)
         ratios = np.asarray([s[2] for s in samples], np.float32)
+        if self.emit == 'u8':
+            data = _pad_batch(images, self.stride, self.fixed_size,
+                              dtype=np.uint8)
+            sizes = np.asarray([im.shape[:2] for im in images], np.float32)
+            return data, ids, ratios, sizes
         data = _pad_batch(images, self.stride, self.fixed_size)
         return data, ids, ratios
 

@@ -47,9 +47,19 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
     if verbose:
         print('Preparing dataset...')
     iterator_cls = RotatedDataIterator if rotated_bbox else DataIterator
+    # jax backend rides the transfer-thin u8 eval feed (raw pixels +
+    # in-graph normalize, ops/color.eval_normalize_u8): 4x fewer bytes
+    # over the host->device link. Engines keep the f32 contract their
+    # serialized graphs were exported with. ODTK_EVAL_FEED=f32 restores
+    # host-side normalization (float-resize pixels, no u8 rounding).
+    import os
+    u8_feed = backend == 'jax' and \
+        os.environ.get('ODTK_EVAL_FEED', 'u8') != 'f32'
     data_iterator = iterator_cls(
         path, resize, max_size, batch_size, stride, world, annotations,
-        training=False, rank=rank, fixed_size=fixed_size)
+        training=False, rank=rank, fixed_size=fixed_size,
+        emit='u8' if u8_feed else 'f32')
+    u8_feed = u8_feed and data_iterator.emit == 'u8'
     if verbose:
         print(data_iterator)
 
@@ -61,7 +71,7 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
         mesh = make_mesh_for_batch(host_local_batch_size(batch_size))
         # cached per (dtype, mesh): periodic validation reuses the
         # compiled pipeline instead of re-tracing every val_iters
-        infer_fn = model.jitted_inference_fn(mesh)
+        infer_fn = model.jitted_inference_fn(mesh, u8=u8_feed)
         # upload weights ONCE: a checkpoint's numpy pytree passed to a
         # jitted fn re-transfers every weight per batch (~5 s/batch over
         # the axon tunnel for ResNet18); a no-op when already on device
@@ -81,36 +91,68 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
 
     results = []
     profiler = Profiler(['infer', 'fw'])
-    for i, (data, ids, ratios) in enumerate(data_iterator):
-        profiler.start('fw')
-        if backend == 'jax':
-            images = shard_batch(mesh, data)
-            scores, boxes, classes = infer_fn(variables, images)
-            # multi-host outputs span non-addressable devices; fetch
-            # this host's rows only (all_gather_host merges below)
-            scores, boxes, classes = (host_local_array(scores),
-                                      host_local_array(boxes),
-                                      host_local_array(classes))
-        else:
+    if backend == 'jax':
+        # overlapped feed: a feeder thread device_puts batch N+1 while
+        # batch N computes (train._device_feed), and result fetches are
+        # DEFERRED to the gather phase — per-batch np.asarray would
+        # serialize every step behind a device->host roundtrip. Device
+        # memory stays bounded: outputs are [B, detections] sized.
+        from .train import _device_feed
+
+        def transform(batch):
+            if u8_feed:
+                data, ids, ratios, sizes = batch
+                return shard_batch(mesh, data, sizes), ids, ratios
+            data, ids, ratios = batch
+            return (shard_batch(mesh, data),), ids, ratios
+
+        feed = _device_feed(data_iterator, mesh, transform=transform)
+        for i, (dev_args, ids, ratios) in enumerate(feed):
+            profiler.start('fw')
+            scores, boxes, classes = infer_fn(variables, *dev_args)
+            profiler.stop('fw')
+            results.append([scores, boxes, classes, ids, ratios])
+            profiler.bump('infer')
+            if verbose and (profiler.totals['infer'] > 60
+                            or i == len(data_iterator) - 1):
+                size = len(data_iterator.ids)
+                msg = '[{:{len}}/{}]'.format(
+                    min((i + 1) * batch_size, size), size,
+                    len=len(str(size)))
+                msg += ' {:.3f}s/{}-batch (dispatch)'.format(
+                    profiler.means['infer'], batch_size)
+                print(msg, flush=True)
+                profiler.reset()
+    else:
+        for i, (data, ids, ratios) in enumerate(data_iterator):
+            profiler.start('fw')
             scores, boxes, classes = model(data)
-        profiler.stop('fw')
-        results.append([np.asarray(scores), np.asarray(boxes),
-                        np.asarray(classes), ids, ratios])
-        profiler.bump('infer')
-        if verbose and (profiler.totals['infer'] > 60
-                        or i == len(data_iterator) - 1):
-            size = len(data_iterator.ids)
-            msg = '[{:{len}}/{}]'.format(
-                min((i + 1) * batch_size, size), size, len=len(str(size)))
-            msg += ' {:.3f}s/{}-batch'.format(profiler.means['infer'],
-                                              batch_size)
-            msg += ' (fw: {:.3f}s)'.format(profiler.means['fw'])
-            msg += ', {:.1f} im/s'.format(batch_size / profiler.means['infer'])
-            print(msg, flush=True)
-            profiler.reset()
+            profiler.stop('fw')
+            results.append([np.asarray(scores), np.asarray(boxes),
+                            np.asarray(classes), ids, ratios])
+            profiler.bump('infer')
+            if verbose and (profiler.totals['infer'] > 60
+                            or i == len(data_iterator) - 1):
+                size = len(data_iterator.ids)
+                msg = '[{:{len}}/{}]'.format(
+                    min((i + 1) * batch_size, size), size,
+                    len=len(str(size)))
+                msg += ' {:.3f}s/{}-batch'.format(profiler.means['infer'],
+                                                  batch_size)
+                msg += ' (fw: {:.3f}s)'.format(profiler.means['fw'])
+                msg += ', {:.1f} im/s'.format(
+                    batch_size / profiler.means['infer'])
+                print(msg, flush=True)
+                profiler.reset()
 
     if verbose:
         print('Gathering results...')
+    if backend == 'jax':
+        # deferred device->host fetch (multi-host: this host's rows;
+        # all_gather_host merges below)
+        results = [[host_local_array(s), host_local_array(b),
+                    host_local_array(c), ids, ratios]
+                   for s, b, c, ids, ratios in results]
     results = [np.concatenate(r, axis=0) for r in zip(*results)]
     if world > 1:
         gathered = [all_gather_host(r) for r in results]

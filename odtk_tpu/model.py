@@ -400,8 +400,17 @@ class Model:
         return ([jax.nn.sigmoid(c.astype(jnp.float32)) for c in cls_heads],
                 [b.astype(jnp.float32) for b in box_heads])
 
-    def jitted_inference_fn(self, mesh=None):
-        """inference_fn jitted once per (dtype, mesh) and cached.
+    def inference_fn_u8(self, variables, images_u8, sizes):
+        """inference_fn on the transfer-thin u8 eval feed: raw pixels
+        cross the host->device link (4x fewer bytes than f32 — see
+        ops/color.py) and the constant ImageNet normalization + pad
+        masking run in-graph."""
+        from .ops.color import eval_normalize_u8
+        return self.inference_fn(variables,
+                                 eval_normalize_u8(images_u8, sizes))
+
+    def jitted_inference_fn(self, mesh=None, u8=False):
+        """inference_fn jitted once per (dtype, mesh, feed) and cached.
 
         Periodic validation inside training calls infer() every
         val_iters; without this cache each call would re-trace the
@@ -409,17 +418,20 @@ class Model:
         and a fresh jit wrapper never hits it).
         """
         from .parallel import batch_sharding, replicated_sharding
-        key = (self.dtype,
+        fn = self.inference_fn_u8 if u8 else self.inference_fn
+        key = (self.dtype, u8,
                tuple(d.id for d in mesh.devices.flat) if mesh else None)
         if key not in self._jitted:
             self.set_spmd_mesh(mesh)
             if mesh is None:
-                self._jitted[key] = jax.jit(self.inference_fn)
+                self._jitted[key] = jax.jit(fn)
             else:
+                img_shards = ((batch_sharding(mesh, 4),
+                               batch_sharding(mesh, 2)) if u8
+                              else (batch_sharding(mesh, 4),))
                 self._jitted[key] = jax.jit(
-                    self.inference_fn,
-                    in_shardings=(replicated_sharding(mesh),
-                                  batch_sharding(mesh, 4)),
+                    fn,
+                    in_shardings=(replicated_sharding(mesh),) + img_shards,
                     out_shardings=batch_sharding(mesh, 1))
         return self._jitted[key]
 

@@ -102,45 +102,10 @@ def make_optimizer(lr, warmup, milestones, gamma, weight_decay=1e-4,
     return optax.GradientTransformation(init, update)
 
 
-def apply_color_affine(images_u8, colors, sizes):
-    """In-graph color jitter + ImageNet normalization + pad masking for
-    the transfer-thin u8 feed (loader emit='u8').
-
-    ``colors`` [B, 3, 4]: each image's folded jitter+normalize affine
-    (data/coco.color_affine) — [:, :, :3] the matrix, [:, :, 3] the
-    offset. ``sizes`` [B, 2]: valid (h, w) extents; canvas padding is
-    zeroed in NORMALIZED space, exactly like the f32 feed's collation.
-    Written as 3 unrolled multiply-adds (K=3 'matmul' on the VPU, fused
-    with the u8 cast and the clip/mask) rather than an einsum the
-    compiler might route through a 3/128-utilized MXU pass.
-    """
-    import jax.numpy as jnp
-    from .data.coco import IMAGENET_MEAN, IMAGENET_STD
-
-    x = images_u8.astype(jnp.float32)
-    t = colors[:, :, :3][:, None, None]        # [B, 1, 1, 3(c), 3(d)]
-    y = (x[..., 0:1] * t[..., 0, :] + x[..., 1:2] * t[..., 1, :]
-         + x[..., 2:3] * t[..., 2, :]) + colors[:, None, None, :, 3]
-    lo = jnp.asarray((0.0 - IMAGENET_MEAN) / IMAGENET_STD)
-    hi = jnp.asarray((1.0 - IMAGENET_MEAN) / IMAGENET_STD)
-    y = jnp.clip(y, lo, hi)
-    h, w = images_u8.shape[1:3]
-    valid = ((jnp.arange(h)[None, :, None] < sizes[:, 0, None, None])
-             & (jnp.arange(w)[None, None, :] < sizes[:, 1, None, None]))
-    return y * valid[..., None].astype(y.dtype)
-
-
-def apply_color_affine_yuv(y_u8, cbcr_u8, colors, sizes):
-    """YUV420 feed assembly: nearest-upsample the chroma plane 2x,
-    stack with luma, and run the SAME per-image affine — the loader
-    already folded YCbCr->RGB into ``colors`` (fold_yuv_affine), so
-    colorspace conversion costs nothing extra in-graph. 1.5 B/px over
-    the link: half the u8 feed, 8x less than f32."""
-    import jax.numpy as jnp
-
-    c = jnp.repeat(jnp.repeat(cbcr_u8, 2, axis=1), 2, axis=2)
-    yuv = jnp.concatenate([y_u8[..., None], c], axis=-1)
-    return apply_color_affine(yuv, colors, sizes)
+# in-graph color math for the transfer-thin feeds (re-exported here
+# for the train-step builders and existing callers; implementation in
+# ops/color.py so model/infer can share it without import cycles)
+from .ops.color import apply_color_affine, apply_color_affine_yuv  # noqa: E402,F401
 
 
 def make_train_step(model, tx, mesh, u8_feed=False, feed=None):

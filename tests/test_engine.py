@@ -142,9 +142,18 @@ def test_engine_pipeline_matches_ckpt_at_engine_geometry(tmp_path):
     det_j = str(tmp_path / 'det_jax.json')
     infer(eng, img_dir, [det_e], 64, 128, 2, annotations=ann,
           verbose=False)
-    infer(m, img_dir, [det_j], 64, 128, 2, annotations=ann,
-          mixed_precision=False, verbose=False,
-          fixed_size=eng.input_size)
+    # f32 eval feed for the jax leg: this test wants BIT-IDENTICAL
+    # inputs through both pipelines (an untrained model's threshold-0
+    # detections are noise — u8-rounded pixels reorder them entirely);
+    # the u8 eval feed itself is pinned by test_u8_feed.py.
+    import os
+    os.environ['ODTK_EVAL_FEED'] = 'f32'
+    try:
+        infer(m, img_dir, [det_j], 64, 128, 2, annotations=ann,
+              mixed_precision=False, verbose=False,
+              fixed_size=eng.input_size)
+    finally:
+        del os.environ['ODTK_EVAL_FEED']
     with open(det_e) as f:
         de = json.load(f)['annotations']
     with open(det_j) as f:

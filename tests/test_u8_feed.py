@@ -247,6 +247,39 @@ def test_yuv_train_step_runs_and_is_close(dataset):
     np.testing.assert_allclose(float(bly), float(bl32), rtol=0.05)
 
 
+def test_eval_normalize_u8_matches_f32_canvas():
+    """The u8 eval feed's in-graph normalize reproduces the f32 eval
+    loader's canvas exactly (pad zeroed in normalized space)."""
+    import jax.numpy as jnp
+    from odtk_tpu.ops.color import eval_normalize_u8, IMAGENET_MEAN, \
+        IMAGENET_STD
+
+    rng = np.random.RandomState(4)
+    u8 = (rng.rand(1, 12, 16, 3) * 255).astype(np.uint8)
+    want = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    want[0, 9:] = 0
+    want[0, :, 13:] = 0
+    got = np.asarray(eval_normalize_u8(
+        jnp.asarray(u8), jnp.asarray([[9, 13]], np.float32)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_infer_u8_eval_feed_runs(dataset, capsys):
+    """infer() end-to-end on the u8 eval feed (jax backend default)."""
+    import os
+    from odtk_tpu.infer import infer
+    from odtk_tpu.model import Model
+
+    img_dir, ann = dataset
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    out = os.path.join(os.path.dirname(img_dir), 'det_u8.json')
+    stats = infer(m, img_dir, [out], 64, 128, 2, annotations=ann,
+                  mixed_precision=False, verbose=False)
+    assert stats is None   # untrained prior-init model: no detections
+    assert 'No detections!' in capsys.readouterr().out
+
+
 def test_native_u8_decode_matches_float(dataset):
     from odtk_tpu.data import native
     if not native.available() or not getattr(native._load(), '_has_u8',
