@@ -35,16 +35,19 @@ _RETRY_BUDGET = [float(__import__('os').environ.get(
     'ODTK_BENCH_RETRY_BUDGET_S', '5400'))]  # total sleep across ALL legs
 
 
-def _retry(fn, *args, label='', **kwargs):
+def _retry(fn, *args, label='', max_attempts=6, **kwargs):
     """Run a bench leg, retrying transient backend failures as a
-    PERSISTENT in-process client (the CLAUDE.md protocol: do NOT
+    persistent in-process client (the CLAUDE.md protocol: do NOT
     kill-and-restart — each killed client can refresh the server-side
     wedge; wait in-process and try again). Backend wedges last up to an
     hour, so three geometric backoffs lose the leg (round 3 lost
     e2e_train, round 4 lost rotated_train exactly this way): retry
-    every 1-2 min for as long as the shared budget allows. Non-
-    transient errors re-raise immediately so the caller's
-    except-with-error-key records what happened."""
+    every 1-2 min while the shared budget allows — but cap attempts
+    PER LEG: a graph whose compile 500s deterministically (r3-r5
+    rotated train) would otherwise eat the whole wedge budget; a real
+    wedge re-triggers retries on every subsequent leg anyway, so the
+    cap loses nothing. Non-transient errors re-raise immediately so
+    the caller's except-with-error-key records what happened."""
     import sys
     last = None
     attempt = 0
@@ -57,7 +60,7 @@ def _retry(fn, *args, label='', **kwargs):
             last = e
         attempt += 1
         wait = min(60.0 if attempt < 3 else 120.0, _RETRY_BUDGET[0])
-        if wait <= 0:
+        if wait <= 0 or attempt >= max_attempts:
             raise last
         print(f'bench[{label}]: transient backend error (attempt '
               f'{attempt}, {_RETRY_BUDGET[0]:.0f}s retry budget left), '

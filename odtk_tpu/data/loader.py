@@ -159,7 +159,8 @@ class DataIterator:
     def __repr__(self):
         return '\n'.join([
             '    loader: odtk_tpu (threaded, bucketed shapes)',
-            '    resize: {}, max: {}'.format(self.resize, self.max_size)])
+            '    resize: {}, max: {}, feed: {}'.format(
+                self.resize, self.max_size, self.emit)])
 
     def _shard_indices(self):
         n = len(self.dataset)

@@ -298,7 +298,11 @@ class Model:
         was the measured dead end: take_along_axis differentiates into
         a scatter.)
         """
-        use_fused = _tpu_backend()
+        # ODTK_FUSED_LOSS=0 drops to the dense jnp twin (diagnostic:
+        # compile-bisecting the axon remote backend's HTTP 500 on the
+        # full-size rotated train graph)
+        use_fused = _tpu_backend() and \
+            os.environ.get('ODTK_FUSED_LOSS', '1') != '0'
         cls_heads, box_heads = self.module.apply(variables, images)
 
         cls_losses, box_losses, fg_counts = [], [], []

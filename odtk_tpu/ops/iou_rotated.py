@@ -343,6 +343,9 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
     else:
         active = valid
 
+    env_chunk = os.environ.get('ODTK_ROTATED_CHUNK')
+    if env_chunk:
+        chunk = int(env_chunk)
     if use_pallas is None:
         # Default: the chunk-streaming while_loop twin. The round-4
         # Pallas matcher has never compiled on the axon remote backend —

@@ -24,6 +24,7 @@ keeping the gradient finite as p_t -> 0.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,13 +32,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _pick_block(m):
-    """Largest row-block that divides m (avoids a pad-copy of the whole
-    operand); falls back to 256-with-padding for awkward sizes."""
+def _pick_block(m, cap=512):
+    """Largest row-block <= cap that divides m (avoids a pad-copy of
+    the whole operand); falls back to 256-with-padding for awkward
+    sizes. ODTK_FOCAL_BLOCK overrides the cap (diagnostic)."""
+    env = os.environ.get('ODTK_FOCAL_BLOCK')
+    if env:
+        cap = int(env)
     for b in (512, 256, 128, 64, 32, 16, 8):
-        if m % b == 0:
+        if b <= cap and m % b == 0:
             return b
-    return 256
+    return min(256, cap)
 
 
 def _terms(xa, ca, da, classes, alpha, gamma):
@@ -402,9 +407,17 @@ def detection_loss_sums_fused(cls_head, box_head, cls_idx, box_t, depth,
             bt2d = bt.astype(jnp.float32).reshape(-1, anchors * box_dim)
         cls2d = ci.astype(jnp.float32).reshape(-1, anchors)
         dep2d = dp.astype(jnp.float32).reshape(-1, anchors)
+        # rotated (6-delta) joint kernels cap the row block at 256:
+        # at block 512 the Mosaic compiler itself crashes
+        # (tpu_compile_helper exit 1 / HTTP 500 through the axon remote
+        # backend) on the b=8 @832 graph — bisected r5; block 256
+        # compiles and runs. Axis (4-delta) keeps 512, proven on
+        # hardware since round 3.
         fn2d = _build_joint(anchors, classes, box_dim, float(alpha),
                             float(gamma), float(beta),
-                            _pick_block(x2d.shape[0]), bool(interpret),
+                            _pick_block(x2d.shape[0],
+                                        cap=256 if box_dim == 6 else 512),
+                            bool(interpret),
                             planar_bt=planar)
         return fn2d(x2d, bx2d, bt2d, cls2d, dep2d)
 
