@@ -347,16 +347,18 @@ def rotated_best_match_batched(subject_quads, clip_quads, valid,
     if env_chunk:
         chunk = int(env_chunk)
     if use_pallas is None:
-        # Default: the chunk-streaming while_loop twin. The round-4
-        # Pallas matcher has never compiled on the axon remote backend —
-        # tpu_compile_helper exits 1 (HTTP 500) deterministically for
-        # the rotated TRAIN graph while every other graph (incl. fresh
-        # multi-minute compiles and the rotated-NMS Pallas kernel)
-        # compiles in the same process; rounds 4 and 5 both lost the
-        # rotated bench leg to it. ODTK_ROTATED_MATCH=pallas re-enables
-        # the kernel for bisection on backends whose compiler takes it.
+        # Pallas matcher on TPU (measured r5 at b=8 @832 RN50:
+        # 87.5 ms/step vs the stream twin's 89.6, and 90.9 vs 117.1
+        # with 24 dense small targets — the tile-AABB skip earns its
+        # keep exactly there). NB the rounds-3..5 rotated compile
+        # failures blamed on this kernel were actually the joint loss
+        # kernel's 512-row block at box_dim=6 (focal_kernel._pick_block
+        # cap). ODTK_ROTATED_MATCH=stream|pallas overrides.
         env = os.environ.get('ODTK_ROTATED_MATCH', '')
-        use_pallas = env == 'pallas'
+        if env in ('stream', 'pallas'):
+            use_pallas = env == 'pallas'
+        else:
+            use_pallas = _tpu_backend()
     if use_pallas:
         # one-launch Pallas matcher: VMEM-resident anchor planes, a
         # dynamic loop over per-image packed actives, tile-AABB skip
