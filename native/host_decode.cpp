@@ -298,6 +298,48 @@ int odtk_resize_u8(const uint8_t* rgb, int h, int w, uint8_t* out,
   return 0;
 }
 
+// RGB u8 [h, w, 3] -> YUV420 planes: y_out [h, w], c_out
+// [ceil(h/2), ceil(w/2), 2] (Cb, Cr interleaved). JFIF/BT.601
+// full-range, chroma = mean of each 2x2 block (edge blocks replicate).
+// The train loader's yuv420 emission runs this instead of a numpy
+// matmul+reduce chain (~10x per-image cost on a 1-core host).
+int odtk_rgb_to_yuv420(const uint8_t* rgb, int h, int w, uint8_t* y_out,
+                       uint8_t* c_out) {
+  const int ch = (h + 1) / 2, cw = (w + 1) / 2;
+  for (int by = 0; by < ch; ++by) {
+    const int y0 = 2 * by, y1 = (2 * by + 1 < h) ? 2 * by + 1 : y0;
+    uint8_t* crow = c_out + static_cast<size_t>(by) * cw * 2;
+    for (int bx = 0; bx < cw; ++bx) {
+      const int x0 = 2 * bx, x1 = (2 * bx + 1 < w) ? 2 * bx + 1 : x0;
+      float cb = 0.0f, cr = 0.0f;
+      const int ys[2] = {y0, y1}, xs[2] = {x0, x1};
+      for (int i = 0; i < 2; ++i) {
+        for (int j = 0; j < 2; ++j) {
+          const uint8_t* p =
+              rgb + (static_cast<size_t>(ys[i]) * w + xs[j]) * 3;
+          const float r = p[0], g = p[1], b = p[2];
+          const float yy = 0.299f * r + 0.587f * g + 0.114f * b;
+          // write Y for the source pixel only once (replicated edge
+          // coordinates revisit the same pixel)
+          if ((i == 0 || y1 != y0) && (j == 0 || x1 != x0)) {
+            y_out[static_cast<size_t>(ys[i]) * w + xs[j]] =
+                static_cast<uint8_t>(yy + 0.5f);
+          }
+          cb += -0.168736f * r - 0.331264f * g + 0.5f * b;
+          cr += 0.5f * r - 0.418688f * g - 0.081312f * b;
+        }
+      }
+      float cbv = cb * 0.25f + 128.5f;
+      float crv = cr * 0.25f + 128.5f;
+      crow[bx * 2] = static_cast<uint8_t>(
+          cbv < 0 ? 0 : (cbv > 255 ? 255 : cbv));
+      crow[bx * 2 + 1] = static_cast<uint8_t>(
+          crv < 0 ? 0 : (crv > 255 ? 255 : crv));
+    }
+  }
+  return 0;
+}
+
 // Raw RGB u8 [h, w, 3] -> resized+normalized float32 into out
 // (out_h x out_w x 3, exact size). Used for non-JPEG sources decoded
 // by the Python fallback.

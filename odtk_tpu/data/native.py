@@ -75,6 +75,15 @@ def _load():
             lib._has_u8 = True
         except AttributeError:
             lib._has_u8 = False
+        try:
+            lib.odtk_rgb_to_yuv420.restype = ctypes.c_int
+            lib.odtk_rgb_to_yuv420.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte)]
+            lib._has_yuv = True
+        except AttributeError:
+            lib._has_yuv = False
         _LIB = lib
         return _LIB
 
@@ -157,6 +166,25 @@ def resize_rgb_u8(rgb_u8, out_h, out_w):
     if rc != 0:
         return None
     return out
+
+
+def rgb_to_yuv420(rgb_u8):
+    """RGB u8 [h,w,3] -> (y u8 [h,w], cbcr u8 [ceil/2, ceil/2, 2]) via
+    the native converter, or None (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None or not getattr(lib, '_has_yuv', False):
+        return None
+    rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+    h, w = rgb_u8.shape[:2]
+    y = np.empty((h, w), np.uint8)
+    c = np.empty(((h + 1) // 2, (w + 1) // 2, 2), np.uint8)
+    rc = lib.odtk_rgb_to_yuv420(
+        rgb_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h, w,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        return None
+    return y, c
 
 
 def resize_rgb(rgb_u8, out_h, out_w, normalize=True):

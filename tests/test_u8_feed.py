@@ -247,6 +247,25 @@ def test_yuv_train_step_runs_and_is_close(dataset):
     np.testing.assert_allclose(float(bly), float(bl32), rtol=0.05)
 
 
+def test_native_yuv420_matches_numpy_twin():
+    """The C converter (host_decode.cpp odtk_rgb_to_yuv420) and the
+    numpy reference produce the same planes within 1 LSB, including
+    odd-dimension edge blocks."""
+    from odtk_tpu.data import native
+    from odtk_tpu.data.loader import _rgb_to_yuv420_numpy
+
+    if native.rgb_to_yuv420(np.zeros((2, 2, 3), np.uint8)) is None:
+        pytest.skip('native yuv converter unavailable')
+    rng = np.random.RandomState(9)
+    for h, w in ((16, 24), (15, 23), (1, 1), (7, 2)):
+        rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        yn, cn = native.rgb_to_yuv420(rgb)
+        yp, cp = _rgb_to_yuv420_numpy(rgb)
+        assert yn.shape == yp.shape and cn.shape == cp.shape
+        assert np.abs(yn.astype(int) - yp.astype(int)).max() <= 1, (h, w)
+        assert np.abs(cn.astype(int) - cp.astype(int)).max() <= 1, (h, w)
+
+
 def test_eval_normalize_u8_matches_f32_canvas():
     """The u8 eval feed's in-graph normalize reproduces the f32 eval
     loader's canvas exactly (pad zeroed in normalized space)."""
