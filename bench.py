@@ -220,6 +220,14 @@ def main():
     except Exception as e:  # noqa: BLE001
         result['e2e_train_error'] = str(e)[:200]
 
+    # End-to-end evaluation: the same loader-fed question for infer()
+    # (u8 eval feed + overlapped upload + deferred fetches).
+    try:
+        result.update(_retry(bench_e2e_eval, model_cls=Model,
+                             label='e2e_eval'))
+    except Exception as e:  # noqa: BLE001
+        result['e2e_eval_error'] = str(e)[:200]
+
     # Rotated-box training throughput (3-angle anchors triple the head
     # channels, so the premium over axis is mostly inherent compute).
     # Skippable via ODTK_BENCH_ROTATED=0 if the compile cache is cold.
@@ -505,6 +513,43 @@ def bench_e2e_train(model_cls, batch=8, size=832, epochs=3):
             'e2e_sync_ms': round(sync / n_steps * 1e3, 2),
             'e2e_pct_explained': round(
                 100 * (get_wait + dispatch + sync) / sec, 1)}
+
+
+def bench_e2e_eval(model_cls, batch=8, size=800, epochs=3):
+    """Loader-fed inference throughput through the REAL infer() loop:
+    u8 eval feed, overlapped uploads, deferred fetches, detections
+    written and parsed — the serving-adjacent number an `odtk-tpu
+    infer` user sees end-to-end (vs serving_b8_im_s, which times the
+    compiled graph alone on device-resident input)."""
+    import io
+    import os
+    import sys
+    import tempfile
+    import contextlib
+    import jax.numpy as jnp
+    from odtk_tpu.infer import infer
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests'))
+    from synth import make_dataset
+
+    model = model_cls(backbones='ResNet50FPN', classes=80,
+                      dtype=jnp.bfloat16)
+    model.initialize(rng=0, image_size=(256, 256))
+    with tempfile.TemporaryDirectory() as root:
+        img_dir, anns = make_dataset(root, n_images=64, size=(640, 640),
+                                     max_boxes=4, fmt='jpg')
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            infer(model, img_dir, None, size, 1024, batch,
+                  annotations=None, verbose=False)     # warm: compile
+        n, t0 = 0, time.perf_counter()
+        for _ in range(epochs):
+            with contextlib.redirect_stdout(buf):
+                infer(model, img_dir, None, size, 1024, batch,
+                      annotations=None, verbose=False)
+            n += 64
+        sec = time.perf_counter() - t0
+    return {'e2e_eval_im_s': round(n / sec, 2)}
 
 
 if __name__ == '__main__':

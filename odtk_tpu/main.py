@@ -83,6 +83,14 @@ def parse(args):
                               help='torchvision-format .pth file(s) to '
                                    'initialize the backbone(s) from '
                                    '(ImageNet init without a download path)')
+    parser_train.add_argument('--feed', choices=['yuv420', 'u8', 'f32'],
+                              default=None,
+                              help='host->device training feed: yuv420 '
+                                   '(default; 1.5 B/px, the JPEG\'s own '
+                                   'chroma subsampling, color math '
+                                   'in-graph), u8 (3 B/px, bit-close to '
+                                   'f32), or f32 (host-side normalize). '
+                                   'ODTK_FEED env is the fallback.')
     parser_train.add_argument('--no-pretrained', action='store_true',
                               help='skip the default ImageNet backbone '
                                    'init (fetch-with-cache; the reference '
@@ -394,7 +402,8 @@ def run(args, model, state):
             regularization_l2=args.regularization_l2,
             rotated_bbox=args.rotated_bbox,
             absolute_angle=args.absolute_angle, max_det=args.max_det,
-            profile_dir=args.profile_dir, clip_grads=args.clip_grads)
+            profile_dir=args.profile_dir, clip_grads=args.clip_grads,
+            feed=args.feed)
 
     elif args.command == 'infer':
         if model is None:

@@ -247,6 +247,47 @@ def test_yuv_train_step_runs_and_is_close(dataset):
     np.testing.assert_allclose(float(bly), float(bl32), rtol=0.05)
 
 
+def test_device_feed_orders_and_surfaces_errors():
+    """_device_feed preserves batch order, device_puts every array, and
+    re-raises feeder-side exceptions in the consumer."""
+    import jax
+    from odtk_tpu.parallel import make_mesh
+    from odtk_tpu.train import _device_feed
+
+    mesh = make_mesh(jax.devices()[:2])
+    batches = [(np.full((2, 4), i, np.float32),
+                np.full((2, 3), -i, np.float32)) for i in range(5)]
+    out = list(_device_feed(iter(batches), mesh))
+    assert len(out) == 5
+    for i, (a, b) in enumerate(out):
+        assert isinstance(a, jax.Array) and isinstance(b, jax.Array)
+        assert float(a[0, 0]) == i and float(b[0, 0]) == -i
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError('loader exploded')
+
+    feed = _device_feed(bad(), mesh)
+    next(feed)
+    with pytest.raises(RuntimeError, match='loader exploded'):
+        next(feed)
+
+
+def test_device_feed_transform_and_early_stop():
+    import jax
+    from odtk_tpu.parallel import make_mesh, shard_batch
+    from odtk_tpu.train import _device_feed
+
+    mesh = make_mesh(jax.devices()[:2])
+    batches = [(np.zeros((2, 4), np.float32), i) for i in range(6)]
+    feed = _device_feed(iter(batches), mesh,
+                        transform=lambda b: (shard_batch(mesh, b[0]),
+                                             b[1] * 10))
+    first = next(feed)
+    assert first[1] == 0 and isinstance(first[0], jax.Array)
+    feed.close()   # early stop must not hang the feeder thread
+
+
 def test_native_yuv420_matches_numpy_twin():
     """The C converter (host_decode.cpp odtk_rgb_to_yuv420) and the
     numpy reference produce the same planes within 1 LSB, including
