@@ -215,6 +215,22 @@ def test_train_divergence_guard(dataset, monkeypatch):
               verbose=False)
 
 
+def test_train_with_periodic_validation(dataset, capsys):
+    """Training with val_annotations runs infer() mid-loop: the yuv420
+    train feed and the u8 eval feed share the model/mesh in one
+    process (the periodic-validation handoff, train.py val_iterations)."""
+    root, img_dir, ann = dataset
+    m = small_model()
+    train(m, {'path': os.path.join(root, 'val.ckpt')}, img_dir, ann,
+          img_dir, ann, resize=64, max_size=128, jitter=[64, 64],
+          batch_size=2, iterations=2, val_iterations=1, lr=1e-4,
+          warmup=0, milestones=[], gamma=0.1, mixed_precision=False,
+          verbose=False)
+    # untrained-ish model: validation ran (prints nothing on None
+    # stats) and training completed without shape/mesh conflicts
+    assert os.path.isfile(os.path.join(root, 'val.ckpt'))
+
+
 def test_infer_fixed_size_letterbox(dataset, capsys):
     """--fixed-size on the jax backend letterboxes like an engine:
     the forward must see the exact (H, W) canvas regardless of image
