@@ -371,6 +371,11 @@ class DataIterator:
                 # place the planes on even-dim canvases
                 if self.fixed_size is not None:
                     th, tw = self.fixed_size
+                    if th % 2 or tw % 2:
+                        raise ValueError(
+                            f'yuv420 feed needs an even canvas, got '
+                            f'fixed_size={self.fixed_size}; use the u8 '
+                            f'feed or an even size')
                 else:
                     th = round_up(max(im.shape[0] for im in images),
                                   self.stride)
