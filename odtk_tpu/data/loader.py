@@ -131,10 +131,13 @@ class DataIterator:
         # colors, sizes) — 8x fewer bytes; the YCbCr->RGB conversion is
         # folded into each image's color affine (fold_yuv_affine) and
         # chroma upsamples on-device. The canvas stride keeps H, W even.
-        # Eval supports 'u8' only (exact pixels; batches are
-        # (images u8, ids, ratios, sizes) and infer.py normalizes
-        # in-graph); 'yuv420' eval would perturb the measured AP.
-        self.emit = emit if (training or emit == 'u8') else 'f32'
+        # Eval: 'u8' ships exact pixels (batches are (images u8, ids,
+        # ratios, sizes); infer.py normalizes in-graph); 'yuv420'
+        # additionally subsamples chroma like the source JPEGs — half
+        # the bytes again, at a small measured AP cost (INFERENCE.md);
+        # batches are (y, cbcr, ids, ratios, sizes). Eval default: 'u8'.
+        self.emit = emit if (training or emit in ('u8', 'yuv420')) \
+            else 'f32'
         self.dataset = self.dataset_cls(
             path, resize=resize, max_size=max_size, stride=stride,
             annotations=annotations, training=training,
@@ -249,8 +252,19 @@ class DataIterator:
     def _make_batch(self, batch_ids):
         if not self.training:
             fast = self._collate_eval_native(batch_ids)
-            if fast is not None:
-                return fast
+            if fast is None:
+                fast = self._collate(
+                    [self._load_sample_safe(i) for i in batch_ids])
+            if self.emit == 'yuv420':
+                # eval yuv420: convert the u8 canvas rows to planes
+                data, ids, ratios, sizes = fast
+                yc = np.empty(data.shape[:3], np.uint8)
+                cc = np.empty((data.shape[0], data.shape[1] // 2,
+                               data.shape[2] // 2, 2), np.uint8)
+                for i, im in enumerate(data):
+                    yc[i], cc[i] = rgb_to_yuv420(im)
+                return yc, cc, ids, ratios, sizes
+            return fast
         samples = [self._load_sample_safe(i) for i in batch_ids]
         return self._collate(samples)
 
@@ -325,7 +339,7 @@ class DataIterator:
         else:
             canvas_h = round_up(max(m[2] for m in metas), self.stride)
             canvas_w = round_up(max(m[3] for m in metas), self.stride)
-        u8 = self.emit == 'u8'
+        u8 = self.emit in ('u8', 'yuv420')
         if u8 and not getattr(native._load(), '_has_u8', False):
             return None
         canvas = np.empty((len(metas), canvas_h, canvas_w, 3),
@@ -394,7 +408,7 @@ class DataIterator:
         images = [s[0] for s in samples]
         ids = np.asarray([s[1] for s in samples], np.int64)
         ratios = np.asarray([s[2] for s in samples], np.float32)
-        if self.emit == 'u8':
+        if self.emit in ('u8', 'yuv420'):
             data = _pad_batch(images, self.stride, self.fixed_size,
                               dtype=np.uint8)
             sizes = np.asarray([im.shape[:2] for im in images], np.float32)

@@ -49,17 +49,22 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
     iterator_cls = RotatedDataIterator if rotated_bbox else DataIterator
     # jax backend rides the transfer-thin u8 eval feed (raw pixels +
     # in-graph normalize, ops/color.eval_normalize_u8): 4x fewer bytes
-    # over the host->device link. Engines keep the f32 contract their
-    # serialized graphs were exported with. ODTK_EVAL_FEED=f32 restores
+    # over the host->device link. ODTK_EVAL_FEED=yuv420 halves the
+    # bytes again (chroma subsampled like the source JPEGs; small
+    # measured AP cost, see INFERENCE.md); ODTK_EVAL_FEED=f32 restores
     # host-side normalization (float-resize pixels, no u8 rounding).
+    # Engines keep the f32 contract their graphs were exported with.
     import os
-    u8_feed = backend == 'jax' and \
-        os.environ.get('ODTK_EVAL_FEED', 'u8') != 'f32'
+    eval_feed = 'f32'
+    if backend == 'jax':
+        eval_feed = os.environ.get('ODTK_EVAL_FEED', 'u8')
+        if eval_feed not in ('f32', 'u8', 'yuv420'):
+            eval_feed = 'u8'
     data_iterator = iterator_cls(
         path, resize, max_size, batch_size, stride, world, annotations,
         training=False, rank=rank, fixed_size=fixed_size,
-        emit='u8' if u8_feed else 'f32')
-    u8_feed = u8_feed and data_iterator.emit == 'u8'
+        emit=eval_feed)
+    eval_feed = data_iterator.emit
     if verbose:
         print(data_iterator)
 
@@ -69,9 +74,9 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
         # clean startup error on multi-host misconfiguration
         # (main.py:170-171)
         mesh = make_mesh_for_batch(host_local_batch_size(batch_size))
-        # cached per (dtype, mesh): periodic validation reuses the
+        # cached per (dtype, mesh, feed): periodic validation reuses the
         # compiled pipeline instead of re-tracing every val_iters
-        infer_fn = model.jitted_inference_fn(mesh, u8=u8_feed)
+        infer_fn = model.jitted_inference_fn(mesh, feed=eval_feed)
         # upload weights ONCE: a checkpoint's numpy pytree passed to a
         # jitted fn re-transfers every weight per batch (~5 s/batch over
         # the axon tunnel for ResNet18); a no-op when already on device
@@ -100,7 +105,10 @@ def infer(model, path, detections_file, resize, max_size, batch_size,
         from .train import _device_feed
 
         def transform(batch):
-            if u8_feed:
+            if eval_feed == 'yuv420':
+                y, c, ids, ratios, sizes = batch
+                return shard_batch(mesh, y, c, sizes), ids, ratios
+            if eval_feed == 'u8':
                 data, ids, ratios, sizes = batch
                 return shard_batch(mesh, data, sizes), ids, ratios
             data, ids, ratios = batch

@@ -413,7 +413,14 @@ class Model:
         return self.inference_fn(variables,
                                  eval_normalize_u8(images_u8, sizes))
 
-    def jitted_inference_fn(self, mesh=None, u8=False):
+    def inference_fn_yuv(self, variables, y_u8, cbcr_u8, sizes):
+        """inference_fn on the yuv420 eval feed (1.5 B/px): plane
+        assembly + constant normalize with YCbCr->RGB folded, in-graph."""
+        from .ops.color import eval_normalize_yuv
+        return self.inference_fn(variables,
+                                 eval_normalize_yuv(y_u8, cbcr_u8, sizes))
+
+    def jitted_inference_fn(self, mesh=None, u8=False, feed=None):
         """inference_fn jitted once per (dtype, mesh, feed) and cached.
 
         Periodic validation inside training calls infer() every
@@ -422,17 +429,24 @@ class Model:
         and a fresh jit wrapper never hits it).
         """
         from .parallel import batch_sharding, replicated_sharding
-        fn = self.inference_fn_u8 if u8 else self.inference_fn
-        key = (self.dtype, u8,
+        feed = feed or ('u8' if u8 else 'f32')
+        fn = {'f32': self.inference_fn, 'u8': self.inference_fn_u8,
+              'yuv420': self.inference_fn_yuv}[feed]
+        key = (self.dtype, feed,
                tuple(d.id for d in mesh.devices.flat) if mesh else None)
         if key not in self._jitted:
             self.set_spmd_mesh(mesh)
             if mesh is None:
                 self._jitted[key] = jax.jit(fn)
             else:
-                img_shards = ((batch_sharding(mesh, 4),
-                               batch_sharding(mesh, 2)) if u8
-                              else (batch_sharding(mesh, 4),))
+                img_shards = {
+                    'f32': (batch_sharding(mesh, 4),),
+                    'u8': (batch_sharding(mesh, 4),
+                           batch_sharding(mesh, 2)),
+                    'yuv420': (batch_sharding(mesh, 3),
+                               batch_sharding(mesh, 4),
+                               batch_sharding(mesh, 2)),
+                }[feed]
                 self._jitted[key] = jax.jit(
                     fn,
                     in_shardings=(replicated_sharding(mesh),) + img_shards,

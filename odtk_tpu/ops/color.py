@@ -48,6 +48,24 @@ def apply_color_affine_yuv(y_u8, cbcr_u8, colors, sizes):
     return apply_color_affine(yuv, colors, sizes)
 
 
+def eval_normalize_yuv(y_u8, cbcr_u8, sizes):
+    """Constant normalization for the yuv420 EVAL feed: assemble the
+    planes and run one constant affine with YCbCr->RGB folded in
+    (1.5 B/px over the link — half the u8 eval feed). Slightly lossy
+    vs u8 (chroma 2x2-averaged, like the JPEG itself); measured AP
+    deltas are recorded in INFERENCE.md."""
+    # fold rgb-normalize through the YUV->RGB matrix at trace time
+    from ..data.loader import fold_yuv_affine
+
+    t = np.diag(1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
+    off = (-IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
+    colors = fold_yuv_affine(
+        np.concatenate([t, off[:, None]], axis=1)[None])
+    b = y_u8.shape[0]
+    colors = jnp.broadcast_to(jnp.asarray(colors), (b, 3, 4))
+    return apply_color_affine_yuv(y_u8, cbcr_u8, colors, sizes)
+
+
 def eval_normalize_u8(images_u8, sizes):
     """Constant ImageNet normalization for the u8 EVAL feed: u8 pixels
     -> (x/255 - mean)/std with canvas padding zeroed (identical to the

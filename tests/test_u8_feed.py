@@ -324,6 +324,41 @@ def test_eval_normalize_u8_matches_f32_canvas():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_eval_normalize_yuv_exact_on_gray():
+    """On chroma-flat (grayscale) content the yuv420 eval feed is
+    EXACT vs the u8 feed — subsampling constant chroma loses nothing."""
+    import jax.numpy as jnp
+    from odtk_tpu.data.loader import rgb_to_yuv420
+    from odtk_tpu.ops.color import eval_normalize_u8, eval_normalize_yuv
+
+    g = np.repeat(np.arange(0, 240, 10, dtype=np.uint8)
+                  .reshape(4, 6)[..., None], 3, axis=-1)
+    y, c = rgb_to_yuv420(g)
+    sizes = np.asarray([[4, 6]], np.float32)
+    want = np.asarray(eval_normalize_u8(jnp.asarray(g[None]),
+                                        jnp.asarray(sizes)))
+    got = np.asarray(eval_normalize_yuv(jnp.asarray(y[None]),
+                                        jnp.asarray(c[None]),
+                                        jnp.asarray(sizes)))
+    np.testing.assert_allclose(got, want, atol=0.03)  # u8 roundtrip LSBs
+
+
+def test_infer_yuv_eval_feed_runs(dataset, capsys, monkeypatch):
+    import os
+    from odtk_tpu.infer import infer
+    from odtk_tpu.model import Model
+
+    monkeypatch.setenv('ODTK_EVAL_FEED', 'yuv420')
+    img_dir, ann = dataset
+    m = Model(backbones='ResNet18FPN', classes=3)
+    m.initialize(rng=0, image_size=(128, 128))
+    out = os.path.join(os.path.dirname(img_dir), 'det_yuv.json')
+    stats = infer(m, img_dir, [out], 64, 128, 2, annotations=ann,
+                  mixed_precision=False, verbose=False)
+    assert stats is None
+    assert 'No detections!' in capsys.readouterr().out
+
+
 def test_infer_u8_eval_feed_runs(dataset, capsys):
     """infer() end-to-end on the u8 eval feed (jax backend default)."""
     import os
