@@ -48,15 +48,25 @@ int main(int argc, char** argv) {
   cv::Mat rgb;
   cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
 
+  // u8 engines take raw letterboxed bytes (normalize runs in-graph,
+  // 4x fewer host->device bytes); f32 engines keep the classic path
   std::vector<float> input(engine.max_batch() * H * W * 3, 0.0f);
-  odtk::Preprocess(rgb.data, rgb.rows, rgb.cols, input.data(), H, W);
+  std::vector<uint8_t> input8(engine.max_batch() * H * W * 3, 0);
+  if (engine.input_u8())
+    odtk::PreprocessU8(rgb.data, rgb.rows, rgb.cols, input8.data(), H, W);
+  else
+    odtk::Preprocess(rgb.data, rgb.rows, rgb.cols, input.data(), H, W);
+  auto run = [&]() {
+    return engine.input_u8() ? engine.Infer(input8.data())
+                             : engine.Infer(input.data());
+  };
 
   printf("Warmup...\n");
-  odtk::Detections det = engine.Infer(input.data());
+  odtk::Detections det = run();
 
   const int iters = 100;
   auto t0 = std::chrono::steady_clock::now();
-  for (int i = 0; i < iters; ++i) det = engine.Infer(input.data());
+  for (int i = 0; i < iters; ++i) det = run();
   auto dt = std::chrono::duration<double>(std::chrono::steady_clock::now() -
                                           t0).count();
   printf("Took %.3f ms per inference (incl. host I/O roundtrip)\n",

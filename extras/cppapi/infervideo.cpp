@@ -39,6 +39,7 @@ int main(int argc, char** argv) {
   float ratio = std::min(static_cast<float>(W) / frame.cols,
                          static_cast<float>(H) / frame.rows);
   std::vector<float> input(engine.max_batch() * H * W * 3, 0.0f);
+  std::vector<uint8_t> input8(engine.max_batch() * H * W * 3, 0);
 
   int frames = 0;
   while (!frame.empty()) {
@@ -46,9 +47,14 @@ int main(int argc, char** argv) {
     cv::resize(frame, resized,
                cv::Size(frame.cols * ratio, frame.rows * ratio));
     cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
-    odtk::Preprocess(rgb.data, rgb.rows, rgb.cols, input.data(), H, W);
-
-    odtk::Detections det = engine.Infer(input.data());
+    odtk::Detections det;
+    if (engine.input_u8()) {
+      odtk::PreprocessU8(rgb.data, rgb.rows, rgb.cols, input8.data(), H, W);
+      det = engine.Infer(input8.data());
+    } else {
+      odtk::Preprocess(rgb.data, rgb.rows, rgb.cols, input.data(), H, W);
+      det = engine.Infer(input.data());
+    }
     for (int i = 0; i < engine.max_detections(); ++i) {
       if (det.scores[i] < 0.3f) continue;
       const float* b = &det.boxes[i * engine.box_dim()];

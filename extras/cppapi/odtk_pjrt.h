@@ -182,6 +182,10 @@ class Engine {
     detections_ = std::stoi(JsonField(meta_, "detections"));
     box_dim_ = std::stoi(JsonField(meta_, "box_dim"));
     stride_ = std::stoi(JsonField(meta_, "stride"));
+    // engines exported with input_format='u8' take raw RGB bytes and
+    // normalize in-graph (4x fewer host->device bytes); absent field
+    // (older engines) means the f32 contract
+    input_u8_ = JsonField(meta_, "input") == "u8";
 
     const PJRT_Api* api = rt_->api();
     PJRT_Program program{PJRT_Program_STRUCT_SIZE, nullptr, prog.data(),
@@ -200,18 +204,34 @@ class Engine {
   int max_detections() const { return detections_; }
   int box_dim() const { return box_dim_; }
   int stride() const { return stride_; }
+  bool input_u8() const { return input_u8_; }
   const std::string& meta() const { return meta_; }
 
   // input: float32 NHWC [batch, height, width, 3], preprocessed
   // (RGB/255 normalized by ImageNet mean/std, zero-padded).
   Detections Infer(const float* input) {
+    if (input_u8_)
+      throw std::runtime_error("engine takes u8 input (input_u8())");
+    return InferRaw(input, PJRT_Buffer_Type_F32);
+  }
+
+  // input: raw RGB uint8 NHWC, letterboxed (black-padded); engines
+  // exported with input_format='u8' normalize in-graph.
+  Detections Infer(const uint8_t* input) {
+    if (!input_u8_)
+      throw std::runtime_error("engine takes f32 input (input_u8())");
+    return InferRaw(input, PJRT_Buffer_Type_U8);
+  }
+
+ private:
+  Detections InferRaw(const void* input, PJRT_Buffer_Type type) {
     const PJRT_Api* api = rt_->api();
     int64_t dims[4] = {batch_, height_, width_, 3};
     PJRT_Client_BufferFromHostBuffer_Args bh{
         PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE, nullptr};
     bh.client = rt_->client();
     bh.data = input;
-    bh.type = PJRT_Buffer_Type_F32;
+    bh.type = type;
     bh.dims = dims;
     bh.num_dims = 4;
     bh.host_buffer_semantics =
@@ -253,7 +273,6 @@ class Engine {
     return det;
   }
 
- private:
   void FetchBuffer(PJRT_Buffer* buf, void* dst, size_t size) {
     const PJRT_Api* api = rt_->api();
     PJRT_Buffer_ToHostBuffer_Args th{PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE,
@@ -275,6 +294,7 @@ class Engine {
   PJRT_LoadedExecutable* exe_;
   std::string meta_;
   int height_, width_, batch_, detections_, box_dim_, stride_;
+  bool input_u8_ = false;
 };
 
 // ImageNet preprocessing shared by the samples (odtk/data.py:25-26).
@@ -288,6 +308,17 @@ inline void Preprocess(const uint8_t* rgb, int h, int w, float* out,
       for (int c = 0; c < 3; ++c)
         out[(y * out_w + x) * 3 + c] =
             (rgb[(y * w + x) * 3 + c] / 255.0f - mean[c]) / stdv[c];
+}
+
+// u8-engine preprocessing: plain letterbox byte paste (normalization
+// runs in-graph; padding stays black).
+inline void PreprocessU8(const uint8_t* rgb, int h, int w, uint8_t* out,
+                         int out_h, int out_w) {
+  std::memset(out, 0, static_cast<size_t>(out_h) * out_w * 3);
+  for (int y = 0; y < h && y < out_h; ++y)
+    std::memcpy(out + static_cast<size_t>(y) * out_w * 3,
+                rgb + static_cast<size_t>(y) * w * 3,
+                static_cast<size_t>(w < out_w ? w : out_w) * 3);
 }
 
 }  // namespace odtk

@@ -210,7 +210,8 @@ def calibrate(model, size, calibration_files, calibration_table=None,
 
 
 def export_cpp_engine(model, size, batch=1, path='model.cppengine',
-                      precision='bf16', platform='tpu', verbose=False):
+                      precision='bf16', platform='tpu',
+                      input_format='f32', verbose=False):
     """Write a self-contained C++ engine (extras/cppapi consumable).
 
     Unlike the Python Engine package, weights are baked into the
@@ -218,6 +219,13 @@ def export_cpp_engine(model, size, batch=1, path='model.cppengine',
     image tensor — the same self-containment property as a serialized
     TRT plan (csrc/engine.cpp:190-199). Format documented in
     extras/cppapi/odtk_pjrt.h.
+
+    input_format='u8': the engine takes raw RGB uint8 (letterboxed,
+    black-padded) and normalizes in-graph — 4x fewer host->device
+    bytes per frame, and the C++ preprocess is a plain byte paste.
+    NB the f32 contract pads with normalized zeros (mean gray) while
+    u8 pads black (the standard letterbox fill; same as DALI's raw
+    zero padding through the reference's normalize).
     """
     from jax import export as jexport
     from jax._src.lib import xla_client
@@ -232,14 +240,20 @@ def export_cpp_engine(model, size, batch=1, path='model.cppengine',
         model.set_dtype(jnp.bfloat16)
 
     const_vars = jax.tree.map(jnp.asarray, model.variables)
+    u8_in = input_format == 'u8'
 
     def fn(images):
+        if u8_in:
+            from .ops.color import IMAGENET_MEAN, IMAGENET_STD
+            images = (images.astype(jnp.float32) / 255.0
+                      - IMAGENET_MEAN) / IMAGENET_STD
         scores, boxes, classes = model.inference_fn(const_vars, images)
         # rank-2 outputs transfer dense row-major through every PJRT
         # plugin; rank-3 may come back in device-tiled layout
         return scores, boxes.reshape(boxes.shape[0], -1), classes
 
-    spec = jax.ShapeDtypeStruct((batch, size[0], size[1], 3), jnp.float32)
+    spec = jax.ShapeDtypeStruct((batch, size[0], size[1], 3),
+                                jnp.uint8 if u8_in else jnp.float32)
     if verbose:
         print(f'Lowering (platform={platform}, batch={batch}, '
               f'size={size})...')
@@ -253,6 +267,7 @@ def export_cpp_engine(model, size, batch=1, path='model.cppengine',
         'box_dim': 6 if model.rotated_bbox else 4,
         'stride': model.stride, 'classes': model.classes,
         'backbones': '+'.join(model.backbones), 'precision': precision,
+        'input': input_format,
     }).encode()
 
     import struct

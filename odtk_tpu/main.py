@@ -219,6 +219,12 @@ def parse(args):
     parser_export.add_argument('--full-precision',
                                help='keep fp32 compute instead of bf16',
                                action='store_true')
+    parser_export.add_argument('--input-format', choices=['f32', 'u8'],
+                               default='f32', dest='input_format',
+                               help='.cppengine input contract: u8 takes '
+                                    'raw letterboxed RGB bytes and '
+                                    'normalizes in-graph (4x fewer '
+                                    'host->device bytes per frame)')
     parser_export.add_argument('--int8', action='store_true',
                                help='run INT8 calibration and emit an int8 engine')
     parser_export.add_argument('--calibration-batches', metavar='size', type=int,
@@ -455,6 +461,7 @@ def run(args, model, state):
             export_cpp_engine(model, tuple(input_size),
                               batch=args.dynamic_batch_opts[1],
                               path=args.export, precision=precision,
+                              input_format=args.input_format,
                               verbose=args.verbose)
         else:
             model.export(input_size, args.dynamic_batch_opts, precision,

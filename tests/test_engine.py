@@ -95,6 +95,52 @@ def test_cpp_engine_container_roundtrip(tmp_path):
     assert len(prog) > 1000
 
 
+def test_cpp_engine_u8_input_format(tmp_path, monkeypatch):
+    """input_format='u8' cpp engines take raw RGB bytes and normalize
+    in-graph: the function handed to jax.export (spied) accepts uint8
+    and matches inference_fn on host-normalized pixels; the container
+    records the contract in its metadata."""
+    import json
+    import struct
+    import jax.export as jexport_mod
+    from odtk_tpu.export import export_cpp_engine
+    from odtk_tpu.ops.color import IMAGENET_MEAN, IMAGENET_STD
+
+    m = Model(backbones='ResNet18FPN', classes=3,
+              config={'threshold': 0.0, 'detections': 10})
+    m.initialize(rng=0, image_size=(128, 128))
+
+    captured = {}
+    real_export = jexport_mod.export
+
+    def spy(jitted, **kw):
+        captured['fn'] = jitted
+        return real_export(jitted, **kw)
+
+    monkeypatch.setattr(jexport_mod, 'export', spy)
+    path = str(tmp_path / 'u8.cppengine')
+    export_cpp_engine(m, (128, 128), batch=1, path=path,
+                      precision='fp32', platform='cpu',
+                      input_format='u8')
+    with open(path, 'rb') as f:
+        assert f.read(8) == b'ODTKCPP1'
+        (mlen,) = struct.unpack('<I', f.read(4))
+        meta = json.loads(f.read(mlen))
+        (plen,) = struct.unpack('<Q', f.read(8))
+        assert plen > 1000
+    assert meta['input'] == 'u8'
+
+    rng = np.random.RandomState(7)
+    u8 = (rng.rand(1, 128, 128, 3) * 255).astype(np.uint8)
+    s_e, b_e, c_e = captured['fn'](jnp.asarray(u8))
+    f32 = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    s_j, b_j, c_j = m.inference_fn(m.variables, jnp.asarray(f32))
+    np.testing.assert_allclose(np.asarray(s_e), np.asarray(s_j),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_e).reshape(1, -1, 4),
+                               np.asarray(b_j), atol=1e-3)
+
+
 def test_rotated_engine_roundtrip(tmp_path):
     """Rotated models export and reload like axis ones: box_dim=6
     (sin/cos carried raw through decode, nms_iou.cu conventions) and
