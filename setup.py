@@ -2,7 +2,7 @@ from setuptools import setup, find_packages
 
 setup(
     name='odtk-tpu',
-    version='0.2.0',
+    version='0.3.0',
     description='TPU-native object detection toolkit (RetinaNet family): '
                 'train, infer, export on JAX/XLA/Pallas',
     packages=find_packages(exclude=['tests']),
